@@ -1,0 +1,253 @@
+r"""Modified Bessel function of the second kind :math:`K_\nu(x)` for real
+order, in pure JAX.
+
+``jax.scipy.special`` has no ``kv``; the reference stack leans on
+``scipy.special.kv`` (reference: src/model.py:349-350), evaluated inside the
+Matern correlation (src/model.py:354-385). Everything downstream — variogram
+fits, kriging weights, exact likelihoods — funnels through this function, so
+it must be (a) accurate to ~1e-13 in f64 over the parameter box the model
+optimizes (nu in (0.2, 3.5), src/model.py:123), and (b) differentiable in
+*both* arguments so NLL/WLS objectives can be jit+grad'd end to end.
+
+Algorithm (Temme 1975; the classic ``bessik`` structure):
+
+- reduce order to ``mu = nu - round(nu)`` with ``|mu| <= 1/2``;
+- ``x <= 2``: Temme's power series for ``K_mu`` and ``K_{mu+1}``;
+- ``x > 2``: Steed's continued fraction CF2 for ``K_mu``, ``K_{mu+1}``;
+- forward recurrence ``K_{r+1} = (2r/x) K_r + K_{r-1}`` up to ``nu``.
+
+All loops have *fixed* trip counts (TPU/XLA friendly, reverse-mode
+differentiable); both branches are evaluated on clamped inputs and selected
+with ``jnp.where`` so no NaNs leak into either primal or tangent values.
+
+Supported domain: ``x > 0``, ``0 < nu <= NU_MAX`` (= 30). The Matern model
+clamps to its own bounds well inside this.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# Euler-Mascheroni constant and the mu^2-coefficient of the odd Taylor part
+# of 1/Gamma(1+mu) (= gamma^3/6 - gamma*pi^2/12 + zeta(3)/3), used to evaluate
+# gam1(mu) = (1/Gamma(1-mu) - 1/Gamma(1+mu)) / (2 mu) without cancellation
+# as mu -> 0.
+_EULER_GAMMA = 0.5772156649015328606
+_ZETA3 = 1.2020569031595942854
+_PI = 3.141592653589793238462643383279502884
+
+_A1 = _EULER_GAMMA
+_A3 = _EULER_GAMMA**3 / 6.0 - _EULER_GAMMA * _PI**2 / 12.0 + _ZETA3 / 3.0
+# NOTE: gam1 only needs ~1e-13 near mu=0; the switch point below keeps the
+# truncation error of the 2-term series under 1e-14, so no mu^4 term needed.
+
+#: Largest supported order. Recurrence steps are statically unrolled.
+NU_MAX = 30
+_N_RECUR = NU_MAX  # static unroll count for the order recurrence
+
+_SERIES_ITERS = 40  # x <= 2: terms decay ~ (x^2/4)^i / i!
+_CF2_ITERS = 80  # x > 2: Steed CF2; worst case near x = 2
+
+
+def _gam12(mu):
+    """Return (gam1, gam2, 1/Gamma(1+mu), 1/Gamma(1-mu)) for |mu| <= 1/2.
+
+    gam1 = (1/Gamma(1-mu) - 1/Gamma(1+mu)) / (2 mu)   (limit -A1 at mu=0)
+    gam2 = (1/Gamma(1-mu) + 1/Gamma(1+mu)) / 2
+    """
+    inv_gp = jnp.exp(-jax.lax.lgamma(1.0 + mu))  # 1/Gamma(1+mu) > 0
+    inv_gm = jnp.exp(-jax.lax.lgamma(1.0 - mu))  # 1/Gamma(1-mu) > 0
+    gam2 = 0.5 * (inv_gm + inv_gp)
+    small = jnp.abs(mu) < 1e-3
+    mu_safe = jnp.where(small, 1.0, mu)
+    gam1_direct = (inv_gm - inv_gp) / (2.0 * mu_safe)
+    gam1_series = -(_A1 + _A3 * mu * mu)
+    gam1 = jnp.where(small, gam1_series, gam1_direct)
+    return gam1, gam2, inv_gp, inv_gm
+
+
+def _temme_series(mu, x):
+    """K_mu(x), K_{mu+1}(x) for 0 < x <= 2, |mu| <= 1/2 (Temme's series)."""
+    x2 = 0.5 * x
+    mu2 = mu * mu
+    d = -jnp.log(x2)
+    e = mu * d
+    pimu = _PI * mu
+
+    # pimu / sin(pimu), sinh(e)/e, with removable singularities
+    small_p = jnp.abs(pimu) < 1e-4
+    fact = jnp.where(
+        small_p,
+        1.0 + pimu * pimu / 6.0,
+        pimu / jnp.sin(jnp.where(small_p, 1.0, pimu)),
+    )
+    small_e = jnp.abs(e) < 1e-4
+    fact2 = jnp.where(
+        small_e,
+        1.0 + e * e / 6.0,
+        jnp.sinh(jnp.where(small_e, 1.0, e)) / jnp.where(small_e, 1.0, e),
+    )
+
+    gam1, gam2, inv_gp, inv_gm = _gam12(mu)
+    ff = fact * (gam1 * jnp.cosh(e) + gam2 * fact2 * d)
+    e_exp = jnp.exp(e)
+    p = 0.5 * e_exp / inv_gp
+    q = 0.5 / (e_exp * inv_gm)
+    c = jnp.ones_like(x)
+    dd = x2 * x2
+    ksum = ff
+    ksum1 = p
+
+    def body(i, carry):
+        ff, p, q, c, ksum, ksum1 = carry
+        fi = jnp.asarray(i, x.dtype)
+        ff = (fi * ff + p + q) / (fi * fi - mu2)
+        c = c * dd / fi
+        p = p / (fi - mu)
+        q = q / (fi + mu)
+        ksum = ksum + c * ff
+        ksum1 = ksum1 + c * (p - fi * ff)
+        return ff, p, q, c, ksum, ksum1
+
+    ff, p, q, c, ksum, ksum1 = jax.lax.fori_loop(
+        1, _SERIES_ITERS + 1, body, (ff, p, q, c, ksum, ksum1)
+    )
+    k_mu = ksum
+    k_mu1 = ksum1 * (2.0 / x)
+    return k_mu, k_mu1
+
+
+def _steed_cf2(mu, x):
+    """K_mu(x), K_{mu+1}(x) for x >= 2, |mu| <= 1/2 (Steed's CF2)."""
+    mu2 = mu * mu
+    a1 = 0.25 - mu2
+    b = 2.0 * (1.0 + x)
+    d = 1.0 / b
+    h = d
+    delh = d
+    q1 = jnp.zeros_like(x)
+    q2 = jnp.ones_like(x)
+    q = a1
+    c = a1
+    a = -a1
+    s = 1.0 + q * delh
+    done = jnp.zeros_like(x, dtype=bool)
+    eps = jnp.finfo(x.dtype).eps
+
+    def body(i, carry):
+        # Two guards for a fixed trip count:
+        # 1. freeze all state once converged (otherwise post-convergence
+        #    iterations keep evolving the recurrence for nothing);
+        # 2. renormalize (q1, q2, c) every step — only the product c*qnew
+        #    and the q1:q2 ratio enter the result, and unnormalized c grows
+        #    factorially, overflowing the TPU's f64 emulation (which only
+        #    has f32 exponent range, ~1e38).
+        a, b, c, d, h, delh, q, q1, q2, s, done = carry
+        fi = jnp.asarray(i, x.dtype)
+        a_n = a - 2.0 * (fi - 1.0)
+        c_n = -a_n * c / fi
+        qnew = (q1 - b * q2) / a_n
+        q_n = q + c_n * qnew
+        b_n = b + 2.0
+        d_n = 1.0 / (b_n + a_n * d)
+        delh_n = (b_n * d_n - 1.0) * delh
+        h_n = h + delh_n
+        dels = q_n * delh_n
+        s_n = s + dels
+        done_n = done | (jnp.abs(dels / s_n) < eps)
+
+        scale = jnp.maximum(jnp.abs(qnew), 1e-30)
+        q1_n = q2 / scale
+        q2_n = qnew / scale
+        c_n = c_n * scale
+
+        keep = lambda new, old: jnp.where(done, old, new)
+        return (
+            keep(a_n, a), keep(b_n, b), keep(c_n, c), keep(d_n, d),
+            keep(h_n, h), keep(delh_n, delh), keep(q_n, q),
+            keep(q1_n, q1), keep(q2_n, q2), keep(s_n, s), done_n,
+        )
+
+    a, b, c, d, h, delh, q, q1, q2, s, done = jax.lax.fori_loop(
+        2, _CF2_ITERS + 2, body, (a, b, c, d, h, delh, q, q1, q2, s, done)
+    )
+    h = a1 * h
+    k_mu = jnp.sqrt(_PI / (2.0 * x)) * jnp.exp(-x) / s
+    k_mu1 = k_mu * (mu + x + 0.5 - h) / x
+    return k_mu, k_mu1
+
+
+def _kv_positive(nu, x):
+    """K_nu(x) for x > 0 (elementwise; nu, x broadcastable)."""
+    nu, x = jnp.broadcast_arrays(nu, x)
+    nl = jnp.floor(nu + 0.5)
+    mu = nu - nl  # |mu| <= 1/2; d(mu)/d(nu) = 1 a.e.
+
+    x_lo = jnp.minimum(x, 2.0)  # clamp each branch into its stable domain
+    x_hi = jnp.maximum(x, 2.0)
+    ks_mu, ks_mu1 = _temme_series(mu, x_lo)
+    kc_mu, kc_mu1 = _steed_cf2(mu, x_hi)
+    use_series = x < 2.0
+    k_mu = jnp.where(use_series, ks_mu, kc_mu)
+    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
+
+    # Forward recurrence K_{r+1} = (2 r / x) K_r + K_{r-1}, r = mu+i,
+    # statically unrolled with masking (nl is data-dependent).
+    two_over_x = 2.0 / x
+    for i in range(1, _N_RECUR + 1):
+        step = i <= nl
+        k_next = (mu + i) * two_over_x * k_mu1 + k_mu
+        k_mu = jnp.where(step, k_mu1, k_mu)
+        k_mu1 = jnp.where(step, k_next, k_mu1)
+    return k_mu
+
+
+@jax.custom_jvp
+def kv(nu, x):
+    r"""Modified Bessel function of the second kind, :math:`K_\nu(x)`.
+
+    Matches ``scipy.special.kv`` on ``x > 0``, ``0 < nu <= NU_MAX``
+    (symmetric in nu: K_{-nu} = K_nu). ``x <= 0`` returns ``inf`` at 0 and
+    ``nan`` for negative x, like scipy.
+
+    Differentiable in both arguments: d/dx is analytic
+    (:math:`K_\nu' = -(K_{\nu-1}+K_{\nu+1})/2`); d/dnu uses a central finite
+    difference (the order-derivative has no closed form; f64 central
+    differences give ~1e-9 relative accuracy, ample for L-BFGS).
+    """
+    nu = jnp.abs(jnp.asarray(nu))
+    x = jnp.asarray(x)
+    x_safe = jnp.where(x > 0.0, x, 1.0)
+    out = _kv_positive(nu, x_safe)
+    out = jnp.where(x > 0.0, out, jnp.where(x == 0.0, jnp.inf, jnp.nan))
+    return out
+
+
+@kv.defjvp
+def _kv_jvp(primals, tangents):
+    nu, x = primals
+    dnu, dx = tangents
+    nu = jnp.abs(jnp.asarray(nu))
+    x = jnp.asarray(x)
+    primal_out = kv(nu, x)
+
+    # dK/dx = -(K_{nu-1} + K_{nu+1}) / 2; K_{nu-1} = K_{|nu-1|}.
+    k_m = kv(jnp.abs(nu - 1.0), x)
+    k_p = kv(nu + 1.0, x)
+    dk_dx = -0.5 * (k_m + k_p)
+
+    # dK/dnu via central difference (order derivative lacks a closed form).
+    # h balances FD cancellation against truncation on BOTH backends: the
+    # TPU's emulated f64 evaluates kv to ~1e-10 relative, so h must be
+    # large enough that (kv_err * K / h) stays below the truncation term.
+    h = 1e-5
+    dk_dnu = (kv(nu + h, x) - kv(jnp.abs(nu - h), x)) / (2.0 * h)
+
+    dnu = jnp.zeros_like(primal_out) if dnu is None else dnu
+    dx = jnp.zeros_like(primal_out) if dx is None else dx
+    tangent_out = dk_dnu * dnu + dk_dx * dx
+    return primal_out, tangent_out
+
+
+def kv_ratio(nu, x):
+    """K_{nu+1}(x) / K_nu(x) — handy for Matern gradient identities."""
+    return kv(nu + 1.0, x) / kv(nu, x)
