@@ -1,0 +1,142 @@
+"""Benchmark: 0.5-degree CONUS monthly cokriging fit + predict (n ~ 25k).
+
+Implements BASELINE.json's north-star workload on synthetic data shaped
+like the reference's real pipeline (research/modelling_demo_sif.ipynb):
+
+1. empirical (cross-)semivariograms over n ~ 25k paired observations —
+   the O(n^2) ~ 470M-pair pass, streamed in blocks (never materialized);
+2. composite-WLS Matern fit (jit'd objective + exact gradients);
+3. bivariate local cokriging with uncertainty at every 0.5-degree CONUS
+   land cell (~6k locations), vmapped.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}; vs_baseline is
+(10 s target) / (measured wall-clock), so > 1.0 beats the target.
+"""
+
+import json
+import time
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+
+N_PER_PROC = 12_500  # paired obs ~ 25k
+TARGET_SECONDS = 10.0
+
+
+def _synthetic_month(rng, n):
+    """CONUS-like observations: smooth spatial signal + noise."""
+    lat = rng.uniform(24.0, 50.0, n)
+    lon = rng.uniform(-124.0, -67.0, n)
+    coords = np.column_stack([lat, lon])
+    signal = (
+        np.sin(np.deg2rad(lat) * 6.0)
+        + 0.5 * np.cos(np.deg2rad(lon) * 4.0)
+        + 0.3 * np.sin(np.deg2rad(lat * 2 + lon))
+    )
+    return coords, signal
+
+
+def build_inputs(dtype):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    c1, s1 = _synthetic_month(rng, N_PER_PROC)
+    c2, s2 = _synthetic_month(rng, N_PER_PROC)
+    v1 = s1 + rng.normal(scale=0.4, size=N_PER_PROC)
+    v2 = -0.6 * s2 + rng.normal(scale=0.4, size=N_PER_PROC)
+    v1 = (v1 - v1.mean()) / v1.std()
+    v2 = (v2 - v2.mean()) / v2.std()
+    return (
+        jnp.asarray(c1, dtype),
+        jnp.asarray(v1, dtype),
+        jnp.asarray(c2, dtype),
+        jnp.asarray(v2, dtype),
+    )
+
+
+def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
+    """One full fit+predict; returns (params, pred, err)."""
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams, MultivariateMatern
+    from cokriging_tpu.estimate.empirical import (
+        VarioConfig,
+        empirical_variogram_pair,
+        EmpiricalVariogram,
+    )
+    from cokriging_tpu.estimate.wls import fit_wls
+    from cokriging_tpu.fields.field import Field, MultiField
+    from cokriging_tpu.predict import LocalPredictor
+
+    # --- 1. empirical variograms over the 25k paired obs ---
+    cfg = VarioConfig(max_dist=3_000.0, n_bins=15, geodesic=True)
+    pairs, stacks = [(0, 0), (0, 1), (1, 1)], []
+    data = {0: (c1, v1), 1: (c2, v2)}
+    for (i, j) in pairs:
+        ca, va = data[i]
+        cb, vb = data[j]
+        stacks.append(
+            empirical_variogram_pair(ca, va, cb, vb, cfg, marginal=(i == j))
+        )
+    est = EmpiricalVariogram(
+        df=None,
+        config=cfg,
+        timestamp=None,
+        timedeltas=None,
+        pairs=pairs,
+        bin_centers=np.stack([s[0] for s in stacks]),
+        bin_means=np.stack([s[1] for s in stacks]),
+        bin_counts=np.stack([s[2] for s in stacks]),
+    )
+
+    # --- 2. composite WLS fit ---
+    params, result = fit_wls(est, method="scipy", maxiter=200)
+
+    # --- 3. local cokriging on the 0.5-degree land grid, data on the
+    #        main 4x5 grid (reference workflow: coords_main for prediction,
+    #        src/point_prediction.py:98-113) ---
+    sub = max(1, N_PER_PROC // 200)  # ~200 obs/field on the "main" grid
+    f1 = Field.from_arrays(np.asarray(c1)[::sub], np.asarray(v1)[::sub], "Z0")
+    f1.geodesic = True
+    f2 = Field.from_arrays(np.asarray(c2)[::sub], np.asarray(v2)[::sub], "Z1")
+    f2.geodesic = True
+    mf = MultiField(fields=[f1, f2])
+    mod = MultivariateMatern(params=params)
+    lp = LocalPredictor(mod, mf)
+    out = lp(0, pred_coords, max_dist=1_000.0, postprocess=False)
+    return params, out
+
+
+def main():
+    import jax
+
+    from cokriging_tpu.data.grids import prediction_coords, main_coords_array
+
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    c1, v1, c2, v2 = build_inputs(dtype)
+    pred_coords = prediction_coords().values.astype(dtype)
+    main_coords = main_coords_array().astype(dtype)
+
+    # warmup: compile everything once
+    run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype)
+
+    t0 = time.perf_counter()
+    params, out = run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype)
+    elapsed = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "0.5-deg CONUS monthly cokriging fit+predict wall-clock (n~25k)",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

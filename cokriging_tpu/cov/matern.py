@@ -1,0 +1,193 @@
+r"""Multivariate (bivariate) Matern cross-covariance model.
+
+Pure jittable functions implementing the Gneiting et al. (2010) full
+bivariate Matern in the Rasmussen-Williams parameterization, with exactly
+the reference's conventions (reference: src/model.py:173-247):
+
+- ``correlation``: log-space Matern correlation with K_nu
+  (src/model.py:354-385); h == 0 -> 1; non-finite -> 0; clamped >= 0.
+- ``covariance(i, h)`` = sigma_i^2 * M_ii(h), nugget added *only at
+  exactly h == 0* (src/model.py:193-197).
+- ``cross_covariance(i, j, h)`` = rho_ij * sigma_i * sigma_j * M_ij(h)
+  (src/model.py:199-207; the reference's ``np.nanprod(sigma)`` equals
+  sigma_i * sigma_j for p = 2).
+- ``semivariance(i, h)`` = sigma_i^2 (1 - M_ii(h)) + tau_i^2
+  (src/model.py:209-213).
+- ``cross_semivariance(i, j, h)`` = sill - C_ij(h) with
+  sill = 0.5 * sum_k(sigma_k^2 + tau_k^2) (src/model.py:215-222; for
+  p = 2 this equals the pairwise sill 0.5 (sigma_i^2+tau_i^2+sigma_j^2+
+  tau_j^2) — we keep the reference's all-process sum for parity).
+
+A thin ``MultivariateMatern`` class provides the reference's OO surface
+(correlation/covariance/.../variograms/fit) on top of these functions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cokriging_tpu.cov.params import MaternParams
+from cokriging_tpu.kernels.bessel import kv
+
+
+def matern_correlation(nu, len_scale, h):
+    r"""Matern correlation :math:`\rho(h)` in log space (src/model.py:354-385).
+
+    .. math::
+        \rho(h) = \frac{2^{1-\nu}}{\Gamma(\nu)}
+                  (\sqrt{2\nu} h/\ell)^{\nu} K_\nu(\sqrt{2\nu} h/\ell)
+
+    h == 0 maps to 1 exactly; non-finite intermediate values map to 0
+    (far-field underflow for large nu); result clamped to [0, inf).
+    """
+    h = jnp.abs(jnp.asarray(h, jnp.result_type(float)))
+    positive = h > 0.0
+    hs = jnp.where(positive, h, 1.0) / len_scale
+    arg = jnp.sqrt(2.0 * nu) * hs
+    log_pref = (1.0 - nu) * jnp.log(2.0) - jax.lax.lgamma(nu) + nu * jnp.log(arg)
+    corr = jnp.exp(log_pref) * kv(nu, arg)
+    corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
+    corr = jnp.maximum(corr, 0.0)
+    return jnp.where(positive, corr, 1.0)
+
+
+def correlation(params: MaternParams, i: int, j: int, h):
+    """Pairwise Matern correlation M_ij(h) (src/model.py:188-191)."""
+    return matern_correlation(params.nu[i, j], params.len_scale[i, j], h)
+
+
+def covariance(params: MaternParams, i: int, h, use_nugget: bool = True):
+    """Marginal covariance of process i; nugget only at h == 0
+    (src/model.py:193-197)."""
+    cov = params.sigma[i] ** 2 * correlation(params, i, i, h)
+    if use_nugget:
+        cov = cov + jnp.where(jnp.asarray(h) == 0.0, params.nugget[i], 0.0)
+    return cov
+
+
+def cross_covariance(params: MaternParams, i: int, j: int, h):
+    """Cross-covariance between processes i and j (src/model.py:199-207)."""
+    return (
+        params.rho[i, j]
+        * params.sigma[i]
+        * params.sigma[j]
+        * correlation(params, i, j, h)
+    )
+
+
+def semivariance(params: MaternParams, i: int, h):
+    """Marginal semivariogram (src/model.py:209-213)."""
+    return (
+        params.sigma[i] ** 2 * (1.0 - correlation(params, i, i, h))
+        + params.nugget[i]
+    )
+
+
+def cross_semivariance(params: MaternParams, i: int, j: int, h):
+    """Cross-semivariogram = sill - C_ij(h), with the reference's
+    all-process sill (src/model.py:215-222)."""
+    sill = 0.5 * jnp.sum(params.sigma**2 + params.nugget)
+    return sill - cross_covariance(params, i, j, h)
+
+
+def variogram_value(params: MaternParams, i: int, j: int, h, covariogram=False):
+    """Theoretical (cross-)variogram of the given kind (src/model.py:224-237)."""
+    if covariogram:
+        if i == j:
+            return covariance(params, i, h)
+        return cross_covariance(params, i, j, h)
+    if i == j:
+        return semivariance(params, i, h)
+    return cross_semivariance(params, i, j, h)
+
+
+def block_covariance(params: MaternParams, dists):
+    """Assemble the joint block covariance for p processes.
+
+    Args:
+        params: MaternParams for p processes.
+        dists: (p, p) nested list (or dict-like indexable) where
+            dists[i][j] is the (n_i, n_j) distance matrix between the
+            observation sets of processes i and j; only i <= j entries
+            are read (lower blocks are transposes, as in
+            src/joint_prediction.py:124-153).
+
+    Returns:
+        (sum n_i, sum n_i) joint covariance (nugget on exact-zero
+        distances of the marginal blocks).
+    """
+    p = params.n_procs
+    blocks = {}
+    for i in range(p):
+        for j in range(p):
+            if i <= j:
+                h = dists[i][j]
+                if i == j:
+                    blocks[(i, j)] = covariance(params, i, h)
+                else:
+                    blocks[(i, j)] = cross_covariance(params, i, j, h)
+            else:
+                blocks[(i, j)] = blocks[(j, i)].T
+    return jnp.block([[blocks[(i, j)] for j in range(p)] for i in range(p)])
+
+
+class MultivariateMatern:
+    """OO surface mirroring the reference model class (src/model.py:173-317).
+
+    Stateless math delegates to the module functions; ``fit`` delegates to
+    ``cokriging_tpu.estimate.wls.fit_wls``.
+    """
+
+    def __init__(self, n_procs: int = 2, params: MaternParams = None) -> None:
+        self.n_procs = n_procs
+        self.params = params if params is not None else MaternParams.default(n_procs)
+        self.fit_result = None
+
+    def correlation(self, i, j, h):
+        return correlation(self.params, i, j, h)
+
+    def covariance(self, i, h, use_nugget: bool = True):
+        return covariance(self.params, i, h, use_nugget=use_nugget)
+
+    def cross_covariance(self, i, j, h):
+        return cross_covariance(self.params, i, j, h)
+
+    def semivariance(self, i, h):
+        return semivariance(self.params, i, h)
+
+    def cross_semivariance(self, i, j, h):
+        return cross_semivariance(self.params, i, j, h)
+
+    def set_values(self, x):
+        self.params = self.params.with_flat(jnp.asarray(x))
+        return self
+
+    def get_values(self):
+        return np.asarray(self.params.to_flat())
+
+    def variograms(self, h, kind: str = "semivariogram"):
+        """Theoretical variogram curves for all i <= j pairs as a DataFrame
+        (multi-index (i, j, idx), columns distance/variogram), matching
+        src/model.py:239-247."""
+        import pandas as pd
+
+        cov = kind == "covariogram"
+        frames = []
+        for i in range(self.n_procs):
+            for j in range(self.n_procs):
+                if i <= j:
+                    v = np.asarray(variogram_value(self.params, i, j, h, cov))
+                    df = pd.DataFrame(
+                        {"distance": np.asarray(h), "variogram": v, "i": i, "j": j}
+                    )
+                    frames.append(df.set_index(["i", "j", df.index]))
+        return pd.concat(frames)
+
+    def fit(self, estimate, guess: MaternParams = None, method: str = "scipy"):
+        """Composite-WLS fit to an EmpiricalVariogram; see estimate.wls."""
+        from cokriging_tpu.estimate.wls import fit_wls
+
+        self.params, self.fit_result = fit_wls(
+            estimate, self.params if guess is None else guess, method=method
+        )
+        return self

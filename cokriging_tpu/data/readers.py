@@ -1,0 +1,113 @@
+"""Satellite granule readers (OCO-2 SIF/XCO2 Lite, MODIS EVI, TransCom).
+
+Long-format pandas re-design of the reference's xarray readers
+(src/data_utils.py:21-118). Each reader returns a DataFrame with columns
+[time, lat, lon, <name>, <name>_var] after the reference's quality filters:
+
+- SIF: drop Quality_Flag == 2 and SIF + 3 sigma <= 0; measurement-error
+  variance = uncertainty^2 (src/data_utils.py:21-58);
+- XCO2: keep xco2_quality_flag == 0; conservative error variance =
+  2 x posterior uncertainty (src/data_utils.py:61-93).
+
+Inputs may be h5py/netCDF4-style mappings, xarray Datasets (if installed),
+or plain dict-of-arrays — anything indexable by variable name.
+"""
+
+from datetime import datetime
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def _get(ds, name):
+    """Fetch a variable as a numpy array from dict / h5py / xarray inputs."""
+    v = ds[name]
+    for attr in ("values", "__array__"):
+        if hasattr(v, attr):
+            return np.asarray(v)
+    return np.asarray(v)
+
+
+def prep_sif(ds) -> pd.DataFrame:
+    """Clean an OCO-2 SIF Lite granule (src/data_utils.py:21-58)."""
+    df = pd.DataFrame(
+        {
+            "sif": _get(ds, "Daily_SIF_740nm"),
+            "sif_sigma": _get(ds, "SIF_Uncertainty_740nm"),
+            "flag": _get(ds, "Quality_Flag"),
+            "lon": _get(ds, "Longitude"),
+            "lat": _get(ds, "Latitude"),
+            "time": _get(ds, "Delta_Time"),
+        }
+    )
+    df = df[df["flag"] != 2]
+    df = df[df["sif"] + 3.0 * df["sif_sigma"] > 0]
+    df["sif_var"] = df["sif_sigma"] ** 2
+    df["time"] = pd.to_datetime(df["time"])
+    return df[["time", "lat", "lon", "sif", "sif_var"]].reset_index(drop=True)
+
+
+def prep_xco2(ds) -> pd.DataFrame:
+    """Clean an OCO-2 FP Lite granule (src/data_utils.py:61-93)."""
+    df = pd.DataFrame(
+        {
+            "xco2": _get(ds, "xco2"),
+            "xco2_uncert": _get(ds, "xco2_uncertainty"),
+            "flag": _get(ds, "xco2_quality_flag"),
+            "lon": _get(ds, "longitude"),
+            "lat": _get(ds, "latitude"),
+            "time": _get(ds, "time"),
+        }
+    )
+    df = df[df["flag"] == 0]
+    df["xco2_var"] = df["xco2_uncert"] * 2.0
+    df["time"] = pd.to_datetime(df["time"])
+    return df[["time", "lat", "lon", "xco2", "xco2_var"]].reset_index(drop=True)
+
+
+def prep_evi(ds, extents=(-130, 18, -60, 62), date: str = None) -> pd.DataFrame:
+    """Clip a MODIS monthly EVI grid to the study box
+    (src/data_utils.py:96-108). Expects 'evi' plus 1-d 'lon'/'lat' axes."""
+    evi = _get(ds, "evi")
+    lon = _get(ds, "lon")
+    lat = _get(ds, "lat")
+    lon_g, lat_g = np.meshgrid(lon, lat, indexing="ij")
+    df = pd.DataFrame(
+        {"lon": lon_g.ravel(), "lat": lat_g.ravel(), "evi": np.asarray(evi).ravel()}
+    )
+    minx, miny, maxx, maxy = extents
+    df = df[(df.lon >= minx) & (df.lon <= maxx) & (df.lat >= miny) & (df.lat <= maxy)]
+    if date is not None:
+        df["time"] = pd.Timestamp(date)
+    return df.reset_index(drop=True)
+
+
+def read_transcom(ds_or_df) -> pd.DataFrame:
+    """TransCom-3 region map filtered to land regions 1..11
+    (src/data_utils.py:111-118)."""
+    if isinstance(ds_or_df, pd.DataFrame):
+        df = ds_or_df.copy()
+    else:
+        df = pd.DataFrame(
+            {
+                "lon": _get(ds_or_df, "lon"),
+                "lat": _get(ds_or_df, "lat"),
+                "region": _get(ds_or_df, "region"),
+            }
+        )
+    df = df[(df.region < 12) & (df.region != 0)]
+    return df.reset_index(drop=True)
+
+
+def open_mf(paths: Sequence[str], prep_fn) -> pd.DataFrame:
+    """Multi-granule ingest: apply a reader across files and concatenate
+    (the reference's open_mfdataset+preprocess pattern,
+    scripts/process_lite_files.ipynb). Supports .nc/.h5 via h5py."""
+    import h5py
+
+    frames = []
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            frames.append(prep_fn(f))
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,7 @@
+from cokriging_tpu.estimate.empirical import (  # noqa: F401
+    VarioConfig,
+    EmpiricalVariogram,
+    empirical_variograms,
+)
+from cokriging_tpu.estimate.wls import fit_wls, composite_wls_cost  # noqa: F401
+from cokriging_tpu.estimate.nll import neg_log_likelihood, fit_nll  # noqa: F401

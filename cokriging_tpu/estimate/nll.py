@@ -1,0 +1,195 @@
+"""Exact Gaussian negative log-likelihood for the joint bivariate field.
+
+The reference only estimates parameters by variogram WLS; the exact
+likelihood (Cholesky log-det) is the estimator the rebuild adds
+(BASELINE.json north star: "exact-likelihood NLL with Cholesky log-det ...
+jit+grad'd end to end"). The joint covariance uses the same conventions as
+prediction (src/joint_prediction.py:124-153): Matern blocks with the
+nugget on exact-zero distances, plus optional per-observation measurement
+error variance on the diagonal.
+
+    nll(theta) = 0.5 * (z^T C^-1 z + logdet C + n log 2pi)
+
+computed via one Cholesky factorization (MXU path on TPU) and two
+triangular solves; gradients flow through the factorization and the
+K_nu kernel by reverse-mode AD.
+"""
+
+import warnings
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cokriging_tpu.cov.params import MaternParams, ParamSpec
+from cokriging_tpu.cov.matern import block_covariance
+from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
+
+
+def joint_distance_blocks(coords_list, geodesic=True):
+    """(p, p) nested list of cross-distance matrices between field
+    coordinate sets (upper triangle computed, lower mirrored)."""
+    p = len(coords_list)
+    dist = haversine_matrix if geodesic else euclidean_matrix
+    blocks = [[None] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(p):
+            if i <= j:
+                blocks[i][j] = dist(coords_list[i], coords_list[j])
+            else:
+                blocks[i][j] = blocks[j][i].T
+    return blocks
+
+
+def neg_log_likelihood(
+    flat,
+    dists,
+    z,
+    spec: ParamSpec,
+    measurement_var=None,
+    jitter: float = 0.0,
+):
+    """Jittable exact NLL of stacked residuals ``z`` under flat params.
+
+    Args:
+        flat: flat parameter vector (reference ordering).
+        dists: (p, p) nested list of distance blocks (precomputed, static
+            across optimizer iterations).
+        z: (n,) stacked residual vector over all processes.
+        measurement_var: optional (n,) measurement-error variances added to
+            the diagonal (prep_sif/prep_xco2 semantics,
+            src/data_utils.py:28, 68).
+        jitter: optional diagonal regularization.
+    """
+    params = MaternParams.from_flat(flat, spec=spec)
+    cov = block_covariance(params, dists)
+    n = cov.shape[0]
+    diag_extra = jnp.full(n, jitter, cov.dtype)
+    if measurement_var is not None:
+        diag_extra = diag_extra + measurement_var
+    cov = cov + jnp.diag(diag_extra)
+    chol = jnp.linalg.cholesky(cov)
+    # Non-PD parameter points (e.g. rho at +-1 with colocated samples) make
+    # the factorization NaN; return a large finite penalty with clean
+    # gradients instead so line searches can back off rather than abort.
+    bad = jnp.any(jnp.isnan(chol))
+    chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
+    alpha = jax.scipy.linalg.solve_triangular(chol, z, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    nll = 0.5 * (alpha @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
+    # Penalty magnitude matters: too large (1e12) and the line-search
+    # quadratic interpolation after hitting it produces a step below float
+    # resolution, stalling L-BFGS at the previous iterate.
+    penalty = jnp.asarray(1e6, cov.dtype) * (1.0 + 0.5 * n)
+    return jnp.where(bad, penalty, nll)
+
+
+def _clean_grad(g):
+    """Zero non-finite gradient entries. At penalty (non-PD) points the
+    objective is locally constant, so a zero gradient is the consistent
+    value; the NaNs would otherwise leak out of cholesky's VJP, whose
+    forward primals are NaN there even though `where` discards them
+    (0 * NaN = NaN)."""
+    return jnp.where(jnp.isfinite(g), g, 0.0)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _nll_value_and_grad(flat, dists, z, spec, measurement_var, jitter):
+    v, g = jax.value_and_grad(neg_log_likelihood)(
+        flat, dists, z, spec, measurement_var, jitter
+    )
+    return v, _clean_grad(g)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _nll_u_value_and_grad(u, lo, hi, dists, z, spec, measurement_var, jitter):
+    """Value+grad of the NLL under the sigmoid box transform
+    x = lo + (hi - lo) * sigmoid(u)."""
+
+    def obj(u):
+        x = lo + (hi - lo) * jax.nn.sigmoid(u)
+        return neg_log_likelihood(x, dists, z, spec, measurement_var, jitter)
+
+    v, g = jax.value_and_grad(obj)(u)
+    return v, _clean_grad(g)
+
+
+def fit_nll(
+    mf,
+    init: Optional[MaternParams] = None,
+    use_measurement_var: bool = False,
+    jitter: float = 1e-8,
+    maxiter: int = 200,
+    main: bool = True,
+) -> Tuple[MaternParams, dict]:
+    """Maximum-likelihood fit of the Matern parameters to a MultiField.
+
+    The box constraint is enforced by a sigmoid reparameterization and the
+    unconstrained problem solved with scipy L-BFGS over the jit'd
+    value_and_grad. (A bound-constrained L-BFGS-B in raw space stalls here:
+    its first Cauchy step projects onto a bound corner — e.g. rho = -1 with
+    colocated samples — where the covariance is exactly singular, and the
+    enormous penalty value collapses the line-search interpolation to a
+    zero step. Under the transform those corners sit at u = +-inf and are
+    unreachable.) Distance blocks are assembled once and live on device
+    across all objective evaluations.
+    """
+    from scipy.optimize import minimize
+
+    init = init or MaternParams.default(mf.n_procs)
+    spec = init.spec
+    coords = [f.coords_main if main else f.coords for f in mf.fields]
+    values = [f.values_main if main else f.values for f in mf.fields]
+    dists = joint_distance_blocks(coords, geodesic=mf.geodesic)
+    z = jnp.concatenate(values)
+    mvar = None
+    if use_measurement_var:
+        mvar = jnp.concatenate(
+            [
+                f.measurement_var
+                if f.measurement_var is not None
+                else jnp.zeros(f.size)
+                for f in mf.fields
+            ]
+        )
+
+    lo_np, hi_np = spec.bounds()
+    lo = jnp.asarray(lo_np)
+    hi = jnp.asarray(hi_np)
+    x0 = np.clip(
+        np.asarray(init.to_flat(), np.float64),
+        lo_np + 1e-6 * (hi_np - lo_np),
+        hi_np - 1e-6 * (hi_np - lo_np),
+    )
+    z0 = (x0 - lo_np) / (hi_np - lo_np)
+    u0 = np.log(z0) - np.log1p(-z0)
+
+    evals = {"n": 0}
+
+    def fun(u):
+        evals["n"] += 1
+        v, g = _nll_u_value_and_grad(
+            jnp.asarray(u), lo, hi, dists, z, spec, mvar, jitter
+        )
+        return float(v), np.asarray(g)
+
+    res = minimize(
+        fun,
+        u0,
+        jac=True,
+        method="L-BFGS-B",
+        options={"maxiter": maxiter},
+    )
+    if not res.success:
+        warnings.warn("NLL optimization did not converge.")
+    x_fit = lo_np + (hi_np - lo_np) / (1.0 + np.exp(-res.x))
+    params = MaternParams.from_flat(jnp.asarray(x_fit), spec=spec)
+    info = {
+        "nll": float(res.fun),
+        "success": bool(res.success),
+        "n_iter": int(res.nit),
+        "n_obj_evals": evals["n"],
+    }
+    return params, info

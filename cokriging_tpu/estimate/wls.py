@@ -1,0 +1,224 @@
+"""Composite weighted-least-squares variogram fitting.
+
+The cost is Cressie (1985)'s weighted relative squared error summed over
+all (i, j) variogram groups (reference: src/model.py:266-283, 388-391):
+
+    cost = sum over bins with yfit != 0 of count * ((emp - fit) / fit)^2
+
+where ``fit`` is the *semivariogram* model at the bin centers regardless of
+the empirical kind (the reference's _map_fit always evaluates
+semivariance / cross_semivariance, src/model.py:266-275).
+
+Unlike the reference — scipy L-BFGS-B with finite-difference gradients,
+one pandas groupby per objective eval (src/model.py:285-317) — the cost
+here is a single jit'd function over stacked (n_pairs, n_bins) arrays with
+exact reverse-mode gradients through the Matern/K_nu kernel. Two drivers:
+
+- ``method='scipy'``: scipy L-BFGS-B with the jit'd value_and_grad
+  (default; matches the reference's optimizer semantics incl. box bounds);
+- ``method='jax'``: fully on-device optax L-BFGS under a sigmoid box
+  reparameterization — jit/vmap-able, so many months/bands can be fit in
+  one compiled program across a device mesh.
+"""
+
+import warnings
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cokriging_tpu.cov.params import MaternParams, ParamSpec
+from cokriging_tpu.cov.matern import semivariance, cross_semivariance
+
+
+@dataclass
+class FitResult:
+    """Fitted parameters + diagnostics (reference FittedVariogram,
+    src/model.py:320-343)."""
+
+    params: MaternParams
+    cost: float
+    success: bool
+    n_iter: int
+    estimate: object = None  # the EmpiricalVariogram fit against
+    df_theoretical: object = None
+
+    @property
+    def df_empirical(self):
+        return None if self.estimate is None else self.estimate.df
+
+
+def composite_wls_cost(flat, centers, means, counts, pairs, spec: ParamSpec):
+    """Jittable composite WLS cost over stacked per-pair bin arrays.
+
+    ``pairs`` is a static tuple of (i, j); rows of the arrays align to it.
+    Bins with zero count, NaN mean, or zero model value are excluded
+    (src/model.py:277-283 drops yfit == 0).
+    """
+    params = MaternParams.from_flat(flat, spec=spec)
+    total = jnp.zeros((), flat.dtype)
+    for k, (i, j) in enumerate(pairs):
+        h = centers[k]
+        if i == j:
+            fit = semivariance(params, i, h)
+        else:
+            fit = cross_semivariance(params, i, j, h)
+        emp = means[k]
+        cnt = counts[k]
+        valid = (cnt > 0) & jnp.isfinite(emp) & (fit != 0.0)
+        fit_safe = jnp.where(fit == 0.0, 1.0, fit)
+        r = (emp - fit_safe) / fit_safe
+        total = total + jnp.sum(jnp.where(valid, cnt * r * r, 0.0))
+    return total
+
+
+@partial(jax.jit, static_argnames=("pairs", "spec"))
+def _cost_and_grad(flat, centers, means, counts, pairs, spec):
+    return jax.value_and_grad(composite_wls_cost)(
+        flat, centers, means, counts, pairs, spec
+    )
+
+
+def fit_wls(
+    estimate,
+    init: Optional[MaternParams] = None,
+    method: str = "scipy",
+    maxiter: int = 500,
+) -> Tuple[MaternParams, FitResult]:
+    """Fit Matern parameters to an EmpiricalVariogram by composite WLS.
+
+    Mirrors MultivariateMatern.fit (src/model.py:285-317): L-BFGS-B from
+    the default (or supplied) initial values under the spec's box bounds,
+    warning on non-convergence.
+    """
+    spec = (init or MaternParams.default(estimate.config.n_procs)).spec
+    if spec.n_procs != estimate.config.n_procs:
+        raise ValueError(
+            "Number of theoretical processes different from empirical processes."
+        )
+    init = init or MaternParams.default(spec.n_procs)
+    x0 = np.asarray(init.to_flat(), dtype=np.float64)
+    centers = jnp.asarray(estimate.bin_centers)
+    means = jnp.asarray(estimate.bin_means)
+    counts = jnp.asarray(estimate.bin_counts, centers.dtype)
+    pairs = tuple(estimate.pairs)
+
+    if method == "scipy":
+        from scipy.optimize import minimize
+
+        def fun(x):
+            v, g = _cost_and_grad(jnp.asarray(x), centers, means, counts, pairs, spec)
+            return float(v), np.asarray(g)
+
+        lo, hi = spec.bounds()
+        res = minimize(
+            fun,
+            x0,
+            jac=True,
+            method="L-BFGS-B",
+            bounds=list(zip(lo, hi)),
+            options={"maxiter": maxiter},
+        )
+        if not res.success:
+            warnings.warn("ERROR: optimization did not converge.")
+        params = MaternParams.from_flat(jnp.asarray(res.x), spec=spec)
+        cost, n_iter, success = float(res.fun), int(res.nit), bool(res.success)
+    elif method == "jax":
+        x, cost, n_iter = _fit_lbfgs_box(
+            x0, centers, means, counts, pairs, spec, maxiter
+        )
+        params = MaternParams.from_flat(x, spec=spec)
+        success = bool(np.isfinite(cost))
+    else:
+        raise ValueError(f"Unknown method {method!r}")
+
+    result = FitResult(
+        params=params,
+        cost=cost,
+        success=success,
+        n_iter=n_iter,
+        estimate=estimate,
+    )
+    result.df_theoretical = _theoretical_df(params, estimate)
+    return params, result
+
+
+def _theoretical_df(params, estimate):
+    """Theoretical curves on a 100-point grid (src/model.py:330-331)."""
+    from cokriging_tpu.cov.matern import MultivariateMatern
+
+    h = np.linspace(0, float(np.max(estimate.bin_centers)), 100)
+    return MultivariateMatern(params.n_procs, params).variograms(h)
+
+
+# ---------------------------------------------------------------------------
+# On-device bounded L-BFGS via sigmoid box transform
+# ---------------------------------------------------------------------------
+
+
+def _box_forward(u, lo, hi):
+    return lo + (hi - lo) * jax.nn.sigmoid(u)
+
+
+def _box_inverse(x, lo, hi):
+    z = jnp.clip((x - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+    return jnp.log(z) - jnp.log1p(-z)
+
+
+def make_device_wls_fitter(pairs, spec, maxiter=300):
+    """Build a jit/vmap-able fitter: (x0, centers, means, counts) -> (x, cost).
+
+    The box constraint is enforced by a sigmoid reparameterization, and the
+    unconstrained problem is solved with optax L-BFGS entirely on device —
+    this is the path that lets pjit fan a fit over every month in a dataset
+    at once.
+    """
+    import optax
+
+    lo_np, hi_np = spec.bounds()
+    lo = jnp.asarray(lo_np)
+    hi = jnp.asarray(hi_np)
+
+    def objective(u, centers, means, counts):
+        x = _box_forward(u, lo, hi)
+        return composite_wls_cost(x, centers, means, counts, pairs, spec)
+
+    opt = optax.lbfgs()
+
+    def fit(x0, centers, means, counts):
+        u0 = _box_inverse(x0, lo, hi)
+
+        value_and_grad = optax.value_and_grad_from_state(
+            lambda u: objective(u, centers, means, counts)
+        )
+
+        def step(carry, _):
+            u, state = carry
+            value, grad = value_and_grad(u, state=state)
+            updates, state = opt.update(
+                grad,
+                state,
+                u,
+                value=value,
+                grad=grad,
+                value_fn=lambda v: objective(v, centers, means, counts),
+            )
+            u = optax.apply_updates(u, updates)
+            return (u, state), value
+
+        (u, _), costs = jax.lax.scan(
+            step, (u0, opt.init(u0)), None, length=maxiter
+        )
+        x = _box_forward(u, lo, hi)
+        return x, objective(u, centers, means, counts)
+
+    return fit
+
+
+def _fit_lbfgs_box(x0, centers, means, counts, pairs, spec, maxiter):
+    fitter = jax.jit(make_device_wls_fitter(pairs, spec, maxiter))
+    x, cost = fitter(jnp.asarray(x0), centers, means, counts)
+    return x, float(cost), maxiter

@@ -1,0 +1,5 @@
+from cokriging_tpu.fields.field import (  # noqa: F401
+    Field,
+    MultiField,
+    TrendStats,
+)

@@ -20,8 +20,21 @@ import jax.numpy as jnp
 
 from cokriging_tpu.utils.config import EARTH_RADIUS_KM
 
+#: Distances below this snap to exact 0. Under jit, XLA's fusion/FMA
+#: rewrites make identical coordinates come out at ~1e-13 rather than 0,
+#: which would break every exact-zero convention downstream (nugget only at
+#: h == 0, src/model.py:193-197; LOOCV self-exclusion via d > 0,
+#: src/point_prediction.py:140-142; min-nonzero-distance bin anchoring,
+#: src/fields.py:393-394). 1e-6 (km / sim units) is far below any real
+#: grid spacing and far above the rewrite noise.
+ZERO_SNAP = 1e-6
 
-def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM):
+
+def _snap(d, tol):
+    return jnp.where(d > tol, d, 0.0)
+
+
+def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM, zero_tol=ZERO_SNAP):
     """Great-circle distance matrix in kilometers.
 
     Args:
@@ -43,17 +56,22 @@ def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM):
         + jnp.cos(lat1) * jnp.cos(lat2) * jnp.sin(0.5 * dlon) ** 2
     )
     s = jnp.clip(s, 0.0, 1.0)
-    return 2.0 * radius * jnp.arcsin(jnp.sqrt(s))
+    return _snap(2.0 * radius * jnp.arcsin(jnp.sqrt(s)), zero_tol)
 
 
-def euclidean_matrix(coords1, coords2):
-    """Euclidean distance matrix (simulation path, src/fields.py:341-342)."""
+def euclidean_matrix(coords1, coords2, zero_tol=ZERO_SNAP):
+    """Euclidean distance matrix (simulation path, src/fields.py:341-342).
+
+    Uses the |x|^2 + |y|^2 - 2<x,y> expansion (MXU-friendly), whose
+    cancellation noise for identical points (~1e-8 after sqrt) the
+    zero-snap removes.
+    """
     c1 = jnp.atleast_2d(coords1)
     c2 = jnp.atleast_2d(coords2)
     sq1 = jnp.sum(c1 * c1, axis=1, keepdims=True)
     sq2 = jnp.sum(c2 * c2, axis=1, keepdims=True)
     d2 = sq1 + sq2.T - 2.0 * (c1 @ c2.T)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    return _snap(jnp.sqrt(jnp.maximum(d2, 0.0)), zero_tol)
 
 
 def distance_matrix(coords1, coords2, geodesic=True):

@@ -1,0 +1,7 @@
+from cokriging_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    sharded_local_predict,
+    sharded_wls_grad_step,
+)

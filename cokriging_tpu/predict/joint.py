@@ -1,0 +1,258 @@
+"""Exact joint cokriging (one global simple-kriging system).
+
+Re-design of the reference joint Predictor (src/joint_prediction.py:13-257):
+the full (n1 + n2) x (n1 + n2) data covariance is assembled from Matern
+blocks, factorized once by Cholesky (MXU path), and all prediction weights
+come from triangular solves:
+
+    W   = C^-1 K            (K = data-to-prediction cross-covariance)
+    mu  = W^T z             (src/joint_prediction.py:68-77)
+    Sig = K* - W^T K        (predictive covariance; err = sqrt(diag))
+
+LOOCV: the reference deletes one row/column per datum and refactorizes the
+whole system n times (src/joint_prediction.py:207-257). Withholding datum k
+and predicting at its own location with the same model is algebraically the
+bordered-system identity on the precision matrix P = C^-1:
+
+    pred_k = z_k - (P z)_k / P_kk        var_k = 1 / P_kk
+
+so the entire LOOCV sweep costs ONE factorization + one inverse. The naive
+delete-row/col path is kept (``cross_validation(..., method='naive')``) as
+a cross-check.
+"""
+
+import warnings
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cokriging_tpu.cov.matern import (
+    block_covariance,
+    covariance,
+    cross_covariance,
+)
+from cokriging_tpu.cov.params import MaternParams
+from cokriging_tpu.estimate.nll import joint_distance_blocks
+from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
+from cokriging_tpu.predict.postprocess import postprocess_predictions
+
+
+def _dist(a, b, geodesic):
+    return haversine_matrix(a, b) if geodesic else euclidean_matrix(a, b)
+
+
+@partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
+def _joint_predict_core(params, coords_tuple, values_tuple, pcoords, i, geodesic, n_sizes):
+    """Returns (pred, pred_err) at pcoords for process i.
+
+    coords_tuple/values_tuple are per-process arrays on the main grid;
+    n_sizes is the static tuple of their lengths (for block assembly).
+    """
+    p = len(coords_tuple)
+    dists = joint_distance_blocks(list(coords_tuple), geodesic=geodesic)
+    joint_cov = block_covariance(params, dists)
+
+    # data -> prediction cross-covariance, stacked over processes
+    # (src/joint_prediction.py:104-122)
+    cross_rows = []
+    for j in range(p):
+        d = _dist(coords_tuple[j], pcoords, geodesic)
+        if j == i:
+            cross_rows.append(covariance(params, i, d, use_nugget=True))
+        else:
+            cross_rows.append(cross_covariance(params, i, j, d))
+    pred_cross = jnp.concatenate(cross_rows, axis=0)
+
+    # prediction-grid covariance (src/joint_prediction.py:94-102)
+    dpp = _dist(pcoords, pcoords, geodesic)
+    pred_cov = covariance(params, i, dpp, use_nugget=True)
+
+    z = jnp.concatenate(values_tuple)
+    chol = jax.scipy.linalg.cho_factor(joint_cov, lower=True)
+    weights = jax.scipy.linalg.cho_solve(chol, pred_cross)  # (ndata, npred)
+    pred = weights.T @ z
+    pred_var = jnp.diagonal(pred_cov - weights.T @ pred_cross)
+    pred_err = jnp.sqrt(jnp.maximum(pred_var, 0.0))
+    return pred, pred_err
+
+
+@partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
+def _loocv_core(params, coords_tuple, values_tuple, i, geodesic, n_sizes):
+    """All-at-once LOOCV for process i via the precision-matrix identity."""
+    dists = joint_distance_blocks(list(coords_tuple), geodesic=geodesic)
+    joint_cov = block_covariance(params, dists)
+    z = jnp.concatenate(values_tuple)
+    n = joint_cov.shape[0]
+    chol = jax.scipy.linalg.cho_factor(joint_cov, lower=True)
+    precision = jax.scipy.linalg.cho_solve(chol, jnp.eye(n, dtype=joint_cov.dtype))
+    pz = precision @ z
+    pkk = jnp.diagonal(precision)
+    pred_all = z - pz / pkk
+    var_all = 1.0 / pkk
+    offset = sum(n_sizes[:i])
+    sl = slice(offset, offset + n_sizes[i])
+    return pred_all[sl], jnp.sqrt(jnp.maximum(var_all[sl], 0.0))
+
+
+class JointPredictor:
+    """OO surface mirroring the reference joint Predictor
+    (src/joint_prediction.py:13-257)."""
+
+    def __init__(
+        self,
+        mod,
+        mf,
+        covariates: Optional[pd.DataFrame] = None,
+    ) -> None:
+        if mod.n_procs != mf.n_procs:
+            raise ValueError(
+                "Number of theoretical processes different from empirical processes."
+            )
+        self.n_procs = mod.n_procs
+        self.mod = mod
+        self.mf = mf
+        self.covariates = covariates
+
+    def _data(self):
+        coords = tuple(f.coords_main for f in self.mf.fields)
+        values = tuple(f.values_main for f in self.mf.fields)
+        sizes = tuple(int(v.shape[0]) for v in values)
+        return coords, values, sizes
+
+    def __call__(
+        self,
+        i: int,
+        pcoords,
+        postprocess: bool = True,
+        cv_ix: Optional[int] = None,
+    ) -> pd.DataFrame:
+        """Predict process i at pcoords ([lat, lon] rows, DataFrame or array).
+
+        ``cv_ix`` reproduces the reference's single-point withholding path
+        (delete datum cv_ix of process i, predict at pcoords).
+        """
+        params = self.mod.params
+        coords, values, sizes = self._data()
+        p_arr = jnp.asarray(
+            pcoords.values if isinstance(pcoords, pd.DataFrame) else np.atleast_2d(pcoords)
+        )
+        geo = self.mf.geodesic
+
+        if cv_ix is not None:
+            coords = list(coords)
+            values = list(values)
+            coords[i] = jnp.delete(coords[i], cv_ix, axis=0)
+            values[i] = jnp.delete(values[i], cv_ix, axis=0)
+            coords, values = tuple(coords), tuple(values)
+            sizes = tuple(int(v.shape[0]) for v in values)
+        else:
+            self._verify_model(params, coords, p_arr, i, geo)
+
+        pred, pred_err = _joint_predict_core(
+            params, coords, values, p_arr, i, geo, sizes
+        )
+
+        c1, c2 = ("lat", "lon") if geo else ("x", "y")
+        df = pd.DataFrame(
+            {
+                c1: np.asarray(p_arr[:, 0]),
+                c2: np.asarray(p_arr[:, 1]),
+                "pred": np.asarray(pred),
+                "pred_err": np.asarray(pred_err),
+            }
+        )
+        if postprocess:
+            return postprocess_predictions(
+                df, self.mf.fields[i], self.covariates
+            )
+        return df
+
+    def _verify_model(self, params, coords, pcoords, i, geodesic):
+        """PD check of the bordered [pred, data] covariance by trial
+        Cholesky (src/joint_prediction.py:260-274)."""
+        all_coords = list(coords)
+        dists = joint_distance_blocks(all_coords, geodesic=geodesic)
+        joint_cov = block_covariance(params, dists)
+        dpp = _dist(pcoords, pcoords, geodesic)
+        pred_cov = covariance(params, i, dpp, use_nugget=True)
+        cross_rows = []
+        for j in range(len(coords)):
+            d = _dist(coords[j], pcoords, geodesic)
+            if j == i:
+                cross_rows.append(covariance(params, i, d, use_nugget=True))
+            else:
+                cross_rows.append(cross_covariance(params, i, j, d))
+        k = jnp.concatenate(cross_rows, axis=0)
+        bordered = jnp.block([[pred_cov, k.T], [k, joint_cov]])
+        chol = jnp.linalg.cholesky(bordered)
+        if bool(jnp.any(jnp.isnan(chol))):
+            warnings.warn(
+                "Prediction joint covariance matrix is not positive definite;"
+                " model technically invalid."
+            )
+
+    def cross_validation(
+        self, i: int, postprocess: bool = True, method: str = "fast"
+    ) -> pd.DataFrame:
+        """LOOCV at every data location of process i
+        (src/joint_prediction.py:207-257).
+
+        method='fast' uses the one-factorization precision identity;
+        method='naive' replays the reference's delete-and-refactorize loop
+        (useful as a numerical cross-check).
+        """
+        params = self.mod.params
+        coords, values, sizes = self._data()
+        geo = self.mf.geodesic
+        data_coords = np.asarray(coords[i])
+        data_values = np.asarray(values[i])
+
+        if method == "fast":
+            pred, pred_err = _loocv_core(params, coords, values, i, geo, sizes)
+            pred, pred_err = np.asarray(pred), np.asarray(pred_err)
+        else:
+            preds, errs = [], []
+            for k in range(sizes[i]):
+                df_k = self.__call__(
+                    i, data_coords[k], postprocess=False, cv_ix=k
+                )
+                preds.append(df_k["pred"].iloc[0])
+                errs.append(df_k["pred_err"].iloc[0])
+            pred, pred_err = np.array(preds), np.array(errs)
+
+        c1, c2 = ("lat", "lon") if geo else ("d1", "d2")
+        df = pd.DataFrame(
+            {
+                c1: data_coords[:, 0],
+                c2: data_coords[:, 1],
+                "data": data_values,
+                "pred": pred,
+                "pred_err": pred_err,
+            }
+        )
+        if postprocess:
+            field = self.mf.fields[i]
+            trend = field.trend
+            if trend is not None:
+                # Back-transform BOTH data and predictions so residuals are
+                # in data units. (The reference leaves the data column
+                # standardized while postprocessing predictions — a scale
+                # mix we deliberately do not reproduce.) At data locations
+                # the OLS surface is the stored fitted values.
+                from cokriging_tpu.predict.postprocess import inverse_transform_data
+
+                surf = np.asarray(field.spatial_trend_main)
+                df["pred"] = (
+                    df["pred"] * trend.scale_fact
+                    + trend.spatial_mean
+                    + surf
+                    + trend.temporal_trend
+                )
+                df["pred_err"] = df["pred_err"] * trend.scale_fact
+                df["data"] = inverse_transform_data(field)
+        df["residual"] = df["data"] - df["pred"]
+        return df[[c1, c2, "data", "pred", "residual", "pred_err"]]

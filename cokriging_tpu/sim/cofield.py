@@ -1,0 +1,131 @@
+"""Bivariate Gaussian cofield simulation.
+
+Re-design of the reference simulator (src/sim.py:11-137) on the JAX PRNG:
+a joint 2n x 2n Matern block covariance over a Cartesian grid, one lower
+Cholesky factor, cofields = L @ N(0, 1). The semi-colocated sampling scheme
+(half the sample locations shared between the two processes, half disjoint,
+src/sim.py:67-82) and per-process additive measurement error
+(src/sim.py:84-117) are preserved — this is the framework's end-to-end
+validation harness (parameter recovery + prediction-interval coverage).
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cokriging_tpu.cov.matern import block_covariance
+from cokriging_tpu.kernels.distance import euclidean_matrix
+from cokriging_tpu.fields.field import Field, MultiField
+
+
+class CartesianGrid:
+    """Regular Cartesian grid on the unit square (src/sim.py:11-27)."""
+
+    def __init__(self, xbounds=(0, 1), ybounds=(0, 1), xcount=51, ycount=51):
+        x = np.linspace(*xbounds, num=xcount)
+        y = np.linspace(*ybounds, num=ycount)
+        # expand-grid ordering: x outer, y inner (reference _expand_grid)
+        xx, yy = np.meshgrid(x, y)
+        pts = np.array([xx, yy]).T.reshape(-1, 2)
+        self.coords = pd.DataFrame(pts, columns=["x", "y"])
+        self.count = len(self.coords)
+        self.dist = euclidean_matrix(jnp.asarray(pts), jnp.asarray(pts))
+
+
+class BivariateRandomField:
+    """Simulate and sample a bivariate Gaussian field (src/sim.py:30-137)."""
+
+    def __init__(self, model, grid: CartesianGrid, seed: int = 0) -> None:
+        self.seed = seed
+        self.mod = model
+        self.grid = grid
+        self.coords = grid.coords
+        dists = [[grid.dist, grid.dist], [grid.dist, grid.dist]]
+        self.cmat = block_covariance(model.params, dists)
+        self.chol_lower = jnp.linalg.cholesky(self.cmat)
+        if bool(jnp.any(jnp.isnan(self.chol_lower))):
+            raise np.linalg.LinAlgError(
+                "Joint simulation covariance is not positive definite."
+            )
+        self.fields = self._simulate()
+
+    def _simulate(self) -> List[pd.DataFrame]:
+        key = jax.random.PRNGKey(self.seed)
+        noise = jax.random.normal(key, (2 * self.grid.count,), self.cmat.dtype)
+        sim = np.asarray(self.chol_lower @ noise)
+        halves = [sim[: self.grid.count], sim[self.grid.count :]]
+        return [
+            pd.DataFrame(
+                {
+                    "x": self.coords["x"].values,
+                    "y": self.coords["y"].values,
+                    "value": halves[i],
+                }
+            )
+            for i in range(2)
+        ]
+
+    def _split_samp_coords(self, size: int, seed: int) -> List[pd.DataFrame]:
+        """Half-colocated / half-disjoint sample locations (src/sim.py:67-82)."""
+        n_ext = int(np.floor(1.5 * size))
+        n_co = int(np.ceil(size / 2))
+        n_mis = size - n_co
+        assert n_ext >= n_co + 2 * n_mis
+        rng = np.random.default_rng(seed)
+        rows = rng.choice(self.grid.count, size=n_ext, replace=False)
+        co = rows[:n_co]
+        mis = [rows[n_co : n_co + n_mis], rows[n_co + n_mis : n_co + 2 * n_mis]]
+        return [np.concatenate([co, mis[i]]) for i in range(2)]
+
+    def sample(
+        self,
+        size: Optional[int] = None,
+        frac: Optional[float] = None,
+        epsilon=(0.0,),
+        seed: Optional[int] = None,
+    ) -> List[pd.DataFrame]:
+        """Sample the cofields with additive N(0, eps_i^2) measurement error
+        (src/sim.py:84-117)."""
+        if frac is not None:
+            size = int(np.ceil(frac * self.grid.count))
+        assert 1.5 * size <= self.grid.count, (
+            "Sample size is too large for semi-colocated sampling scheme."
+        )
+        eps = np.asarray(epsilon, dtype=float)
+        if eps.size == 1:
+            eps = np.repeat(eps, 2)
+        seed = self.seed if seed is None else seed
+
+        idx = self._split_samp_coords(size, seed)
+        key = jax.random.PRNGKey(seed + 1)
+        samples = []
+        for i in range(2):
+            df = self.fields[i].iloc[idx[i]].reset_index(drop=True).copy()
+            key, sub = jax.random.split(key)
+            noise = np.asarray(jax.random.normal(sub, (size,))) * eps[i]
+            df["value"] = df["value"] + noise
+            df = df.rename(columns={"value": f"Z{i}"})
+            samples.append(df)
+        return samples
+
+    def to_fields(self, samples: List[pd.DataFrame], i: Optional[int] = None):
+        """Format samples as a (Multi)Field on Euclidean coordinates
+        (src/sim.py:127-137)."""
+        fields = [
+            Field.from_arrays(
+                s[["x", "y"]].values, s[f"Z{k}"].values, name=f"Z{k}"
+            )
+            for k, s in enumerate(samples)
+        ]
+        if i is not None:
+            return MultiField(fields=[fields[i]])
+        return MultiField(fields=fields)
+
+    def truth_at(self, i: int, coords: np.ndarray) -> np.ndarray:
+        """Noise-free simulated values of process i at exact grid coords."""
+        df = self.fields[i]
+        key = {(round(a, 12), round(b, 12)): v for a, b, v in df.values}
+        return np.array([key[(round(a, 12), round(b, 12))] for a, b in coords])

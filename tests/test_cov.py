@@ -1,0 +1,115 @@
+"""Covariance model vs the reference semantics (golden values computed by
+re-deriving src/model.py:173-247 formulas with scipy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.special as sps
+
+from cokriging_tpu.cov import (
+    MaternParams,
+    matern_correlation,
+    covariance,
+    cross_covariance,
+    semivariance,
+    cross_semivariance,
+    MultivariateMatern,
+)
+
+# Simulation-experiment truth parameters
+# (reference: research/simulation_experiment.ipynb cell 3)
+SIM_PARAMS = [1.0, 1.0, 1.5, 1.5, 1.5, 0.2, 0.2, 0.2, 0.0, 0.0, -0.6]
+
+
+def _scipy_matern(nu, ell, h):
+    h = np.atleast_1d(np.abs(np.asarray(h, float)))
+    out = np.ones_like(h)
+    pos = h > 0
+    hs = h[pos] / ell
+    arg = np.sqrt(2 * nu) * hs
+    val = np.exp((1 - nu) * np.log(2) - sps.gammaln(nu) + nu * np.log(arg)) * sps.kv(
+        nu, arg
+    )
+    val[~np.isfinite(val)] = 0.0
+    out[pos] = np.maximum(val, 0.0)
+    return out
+
+
+def test_flat_roundtrip():
+    p = MaternParams.from_flat(np.array(SIM_PARAMS))
+    np.testing.assert_allclose(np.asarray(p.to_flat()), SIM_PARAMS)
+    assert p.spec.n_params == 11
+    assert p.nu[0, 1] == p.nu[1, 0] == 1.5
+    assert p.rho[0, 1] == -0.6
+    assert p.sigma.shape == (2,)
+
+
+def test_param_names_and_bounds():
+    p = MaternParams.default()
+    names = p.spec.names()
+    assert names == [
+        "sigma_11", "sigma_22",
+        "nu_11", "nu_12", "nu_22",
+        "len_scale_11", "len_scale_12", "len_scale_22",
+        "nugget_11", "nugget_22",
+        "rho_12",
+    ]
+    lo, hi = p.spec.bounds()
+    assert lo[0] == 0.4 and hi[0] == 3.5  # sigma
+    assert lo[-1] == -1.0 and hi[-1] == 1.0  # rho
+
+
+def test_matern_correlation_matches_scipy():
+    h = np.concatenate([[0.0], np.logspace(-3, 3.5, 200)])
+    for nu, ell in [(0.5, 300.0), (1.5, 500.0), (2.5, 1000.0), (3.49, 150.0)]:
+        ref = _scipy_matern(nu, ell, h)
+        got = np.asarray(matern_correlation(nu, ell, jnp.array(h)))
+        np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-14)
+    assert float(matern_correlation(1.5, 500.0, 0.0)) == 1.0
+
+
+def test_covariance_nugget_only_at_zero():
+    flat = list(SIM_PARAMS)
+    flat[8] = 0.05  # nugget_11
+    p = MaternParams.from_flat(np.array(flat))
+    h = jnp.array([0.0, 1e-9, 0.3])
+    c = np.asarray(covariance(p, 0, h))
+    # exact zero gets nugget
+    assert np.isclose(c[0], 1.0**2 + 0.05)
+    # tiny-but-nonzero does not (reference: cov[h == 0] += nugget)
+    assert c[1] < 1.0 + 1e-6
+
+
+def test_cross_covariance_symmetric_and_scaled():
+    flat = list(SIM_PARAMS)
+    flat[0], flat[1] = 1.3, 0.7  # distinct sigmas
+    p = MaternParams.from_flat(np.array(flat))
+    h = jnp.array([0.0, 0.1, 0.5])
+    c01 = np.asarray(cross_covariance(p, 0, 1, h))
+    c10 = np.asarray(cross_covariance(p, 1, 0, h))
+    np.testing.assert_allclose(c01, c10)
+    # at h=0: rho * sigma1 * sigma2
+    np.testing.assert_allclose(c01[0], -0.6 * 1.3 * 0.7)
+
+
+def test_semivariance_and_sill():
+    flat = list(SIM_PARAMS)
+    flat[8], flat[9] = 0.04, 0.09
+    p = MaternParams.from_flat(np.array(flat))
+    # far field: semivariance -> sigma^2 + nugget
+    far = float(semivariance(p, 0, jnp.array([50.0]))[0])
+    assert np.isclose(far, 1.0 + 0.04, atol=1e-6)
+    # cross-semivariance at h=0 = sill - rho*sig1*sig2
+    sill = 0.5 * (1 + 0.04 + 1 + 0.09)
+    got = float(cross_semivariance(p, 0, 1, jnp.array([0.0]))[0])
+    assert np.isclose(got, sill - (-0.6), atol=1e-12)
+
+
+def test_oo_wrapper_variograms():
+    mod = MultivariateMatern(params=MaternParams.from_flat(np.array(SIM_PARAMS)))
+    h = np.linspace(0, 1.0, 50)
+    df = mod.variograms(h)
+    assert set(df.index.get_level_values("i")) == {0, 1}
+    assert len(df) == 150  # three (i,j) groups
+    # semivariogram starts at nugget (0 here) and increases
+    g00 = df.loc[(0, 0)]["variogram"].values
+    assert g00[0] == 0.0 and g00[-1] > g00[1]
