@@ -14,12 +14,21 @@ Prints ONE JSON line {metric, value, unit, vs_baseline}; vs_baseline is
 """
 
 import json
+import os
+import sys
 import time
 import warnings
 
 import numpy as np
 
 warnings.filterwarnings("ignore")
+
+VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
+
+
+def _log(msg):
+    if VERBOSE:
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 N_PER_PROC = 12_500  # paired obs ~ 25k
 TARGET_SECONDS = 10.0
@@ -75,6 +84,7 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
     pairs, stacks = [(0, 0), (0, 1), (1, 1)], []
     data = {0: (c1, v1), 1: (c2, v2)}
     for (i, j) in pairs:
+        _log(f"variogram pair ({i},{j})")
         ca, va = data[i]
         cb, vb = data[j]
         stacks.append(
@@ -91,8 +101,10 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
         bin_counts=np.stack([s[2] for s in stacks]),
     )
 
-    # --- 2. composite WLS fit ---
-    params, result = fit_wls(est, method="scipy", maxiter=200)
+    # --- 2. composite WLS fit (fully on-device L-BFGS: one dispatch, not
+    #        one round-trip through the TPU relay per objective eval) ---
+    _log("WLS fit")
+    params, result = fit_wls(est, method="jax", maxiter=150)
 
     # --- 3. local cokriging on the 0.5-degree land grid, data on the
     #        main 4x5 grid (reference workflow: coords_main for prediction,
@@ -103,9 +115,15 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
     f2 = Field.from_arrays(np.asarray(c2)[::sub], np.asarray(v2)[::sub], "Z1")
     f2.geodesic = True
     mf = MultiField(fields=[f1, f2])
-    mod = MultivariateMatern(params=params)
+    # f32 prediction path: the TPU emulates f64 with ~50x-slower software
+    # arithmetic; local kriging at 96-point neighborhoods is comfortably
+    # f32-conditioned (accuracy parity is validated at f64 on CPU in tests)
+    mod = MultivariateMatern(params=params.astype(dtype))
+    _log("local predictor setup")
     lp = LocalPredictor(mod, mf)
+    _log("local predict")
     out = lp(0, pred_coords, max_dist=1_000.0, postprocess=False)
+    _log("pipeline done")
     return params, out
 
 

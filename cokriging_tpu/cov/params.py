@@ -165,6 +165,17 @@ class MaternParams:
     def replace(self, **kw) -> "MaternParams":
         return replace(self, **kw)
 
+    def astype(self, dtype) -> "MaternParams":
+        """Cast all parameter arrays (e.g. f32 for TPU-MXU prediction)."""
+        return MaternParams(
+            self.sigma.astype(dtype),
+            self.nu.astype(dtype),
+            self.len_scale.astype(dtype),
+            self.nugget.astype(dtype),
+            self.rho.astype(dtype),
+            self.spec,
+        )
+
     # ---- host-side reporting -------------------------------------------
 
     def to_dataframe(self):

@@ -83,11 +83,18 @@ def _pad_rows(arr, block):
     return arr, n
 
 
-@partial(jax.jit, static_argnames=("marginal", "geodesic", "n_rows", "block"))
-def _pass_min_max(ca, cb, marginal, geodesic, max_dist, n_rows, block):
-    """Blocked pass 1: (min nonzero dist, max dist) over filtered pairs."""
+@partial(jax.jit, static_argnames=("geodesic", "block"))
+def _pass_min_max(ca, cb, marginal, max_dist, n_rows, n_cols, geodesic, block):
+    """Blocked pass 1: (min nonzero dist, max dist) over filtered pairs.
+
+    ``marginal``, ``n_rows``, ``n_cols`` are *runtime* values so one
+    compiled program serves every (i, j) pair — the axon remote-compile
+    service costs minutes per program, so program-count is a first-order
+    performance concern.
+    """
     nb = cb.shape[0]
     n_blocks = ca.shape[0] // block
+    col_ids = jnp.arange(nb)[None, :]
 
     def body(k, carry):
         dmin, dmax = carry
@@ -98,10 +105,8 @@ def _pass_min_max(ca, cb, marginal, geodesic, max_dist, n_rows, block):
             else euclidean_matrix(rows, cb)
         )
         row_ids = k * block + jnp.arange(block)[:, None]
-        valid = (row_ids < n_rows) & (d <= max_dist)
-        if marginal:
-            col_ids = jnp.arange(nb)[None, :]
-            valid = valid & (row_ids < col_ids)
+        valid = (row_ids < n_rows) & (col_ids < n_cols) & (d <= max_dist)
+        valid = valid & (~marginal | (row_ids < col_ids))
         dmin = jnp.minimum(
             dmin, jnp.min(jnp.where(valid & (d > 0.0), d, jnp.inf))
         )
@@ -111,22 +116,22 @@ def _pass_min_max(ca, cb, marginal, geodesic, max_dist, n_rows, block):
     return jax.lax.fori_loop(0, n_blocks, body, (jnp.inf, -jnp.inf))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("marginal", "geodesic", "covariogram", "n_rows", "n_bins", "block"),
-)
+@partial(jax.jit, static_argnames=("geodesic", "n_bins", "block"))
 def _pass_bin(
-    ca, va, cb, vb, edges, marginal, geodesic, covariogram, max_dist, n_rows, n_bins, block
+    ca, va, cb, vb, edges, marginal, covariogram, max_dist, n_rows, n_cols,
+    geodesic, n_bins, block
 ):
     """Blocked pass 2: per-bin cloud sums and pair counts.
 
     Bin assignment replicates right-closed pandas cut with include_lowest:
     idx = clip(searchsorted(edges, d, 'left') - 1, 0, n_bins - 1).
-    Accumulation uses a one-hot (block*nb, n_bins) matmul so the inner loop
-    is MXU work rather than scatter.
+    Per-bin accumulation is a static unroll of masked reductions that XLA
+    fuses into the distance/cloud computation (no intermediate buffers).
+    ``marginal``/``covariogram`` are runtime flags (see _pass_min_max).
     """
     nb = cb.shape[0]
     n_blocks = ca.shape[0] // block
+    col_ids = jnp.arange(nb)[None, :]
 
     def body(k, carry):
         sums, counts = carry
@@ -137,23 +142,22 @@ def _pass_bin(
             if geodesic
             else euclidean_matrix(rows, cb)
         )
-        if covariogram:
-            cloud = vals[:, None] * vb[None, :]
-        else:
-            diff = vals[:, None] - vb[None, :]
-            cloud = 0.5 * diff * diff
-        row_ids = k * block + jnp.arange(block)[:, None]
-        valid = (row_ids < n_rows) & (d <= max_dist)
-        if marginal:
-            col_ids = jnp.arange(nb)[None, :]
-            valid = valid & (row_ids < col_ids)
-        idx = jnp.clip(jnp.searchsorted(edges, d, side="left") - 1, 0, n_bins - 1)
-        onehot = (
-            jax.nn.one_hot(idx.ravel(), n_bins, dtype=d.dtype)
-            * valid.ravel()[:, None]
+        diff = vals[:, None] - vb[None, :]
+        cloud = jnp.where(
+            covariogram, vals[:, None] * vb[None, :], 0.5 * diff * diff
         )
-        sums = sums + cloud.ravel() @ onehot
-        counts = counts + jnp.sum(onehot, axis=0)
+        row_ids = k * block + jnp.arange(block)[:, None]
+        valid = (row_ids < n_rows) & (col_ids < n_cols) & (d <= max_dist)
+        valid = valid & (~marginal | (row_ids < col_ids))
+        idx = jnp.clip(jnp.searchsorted(edges, d, side="left") - 1, 0, n_bins - 1)
+        bin_sums = []
+        bin_counts = []
+        for b in range(n_bins):
+            sel = valid & (idx == b)
+            bin_sums.append(jnp.sum(jnp.where(sel, cloud, 0.0)))
+            bin_counts.append(jnp.sum(sel.astype(d.dtype)))
+        sums = sums + jnp.stack(bin_sums)
+        counts = counts + jnp.stack(bin_counts)
         return sums, counts
 
     init = (jnp.zeros(n_bins, ca.dtype), jnp.zeros(n_bins, ca.dtype))
@@ -178,19 +182,42 @@ def empirical_variogram_pair(
     values_b,
     config: VarioConfig,
     marginal: bool,
+    pad_rows_to: int = None,
+    pad_cols_to: int = None,
 ):
-    """One (i, j) binned variogram; returns (centers, means, counts)."""
-    ca, n_rows = _pad_rows(jnp.asarray(coords_a), _BLOCK)
-    va, _ = _pad_rows(jnp.asarray(values_a), _BLOCK)
+    """One (i, j) binned variogram; returns (centers, means, counts).
+
+    ``pad_rows_to``/``pad_cols_to`` let callers force common padded shapes
+    across pairs so every pair reuses the same two compiled programs.
+    """
+    ca = jnp.asarray(coords_a)
+    va = jnp.asarray(values_a)
     cb = jnp.asarray(coords_b)
     vb = jnp.asarray(values_b)
+    n_rows = int(ca.shape[0])
+    n_cols = int(cb.shape[0])
 
     # Center values by their field means (src/fields.py:378-381).
-    va = va - jnp.mean(va[:n_rows])
+    va = va - jnp.mean(va)
     vb = vb - jnp.mean(vb)
 
+    target_rows = max(pad_rows_to or 0, n_rows)
+    target_rows = -(-target_rows // _BLOCK) * _BLOCK
+    target_cols = max(pad_cols_to or 0, n_cols)
+
+    def pad_to(arr, target):
+        pad = target - arr.shape[0]
+        if pad:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)]
+            )
+        return arr
+
+    ca, va = pad_to(ca, target_rows), pad_to(va, target_rows)
+    cb, vb = pad_to(cb, target_cols), pad_to(vb, target_cols)
+
     dmin, dmax = _pass_min_max(
-        ca, cb, marginal, config.geodesic, config.max_dist, n_rows, _BLOCK
+        ca, cb, marginal, config.max_dist, n_rows, n_cols, config.geodesic, _BLOCK
     )
     dmin, dmax = float(dmin), float(dmax)
     if not np.isfinite(dmin) or not np.isfinite(dmax):
@@ -202,12 +229,13 @@ def empirical_variogram_pair(
         va,
         cb,
         vb,
-        jnp.asarray(edges),
+        jnp.asarray(edges, ca.dtype),
         marginal,
-        config.geodesic,
         config.covariogram,
         config.max_dist,
         n_rows,
+        n_cols,
+        config.geodesic,
         config.n_bins,
         _BLOCK,
     )
@@ -221,6 +249,8 @@ def empirical_variograms(mf, config: VarioConfig) -> EmpiricalVariogram:
     (src/fields.py:234-252)."""
     pairs, all_c, all_m, all_n = [], [], [], []
     frames = []
+    # common padded shapes -> one compiled program pair serves all (i, j)
+    max_n = max(f.size for f in mf.fields)
     for i in range(mf.n_procs):
         for j in range(mf.n_procs):
             if i > j:
@@ -233,6 +263,8 @@ def empirical_variograms(mf, config: VarioConfig) -> EmpiricalVariogram:
                 fj.values,
                 config,
                 marginal=(i == j),
+                pad_rows_to=max_n,
+                pad_cols_to=max_n,
             )
             if (counts < 30).any():
                 warnings.warn(

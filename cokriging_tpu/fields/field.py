@@ -187,9 +187,12 @@ class Field:
     ) -> "Field":
         """Simulated-field constructor (reference ``type='sim'`` path,
         src/fields.py:90-94): raw values, Euclidean [x, y] coordinates,
-        main == full."""
-        c = jnp.asarray(np.asarray(coords, float))
-        v = jnp.asarray(np.asarray(values, float))
+        main == full. Float input dtypes are preserved (pass f32 arrays for
+        the TPU fast path)."""
+        c = np.asarray(coords)
+        v = np.asarray(values)
+        c = jnp.asarray(c if c.dtype.kind == "f" else c.astype(float))
+        v = jnp.asarray(v if v.dtype.kind == "f" else v.astype(float))
         return cls(
             name=name,
             timestamp=None,

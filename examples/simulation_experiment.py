@@ -1,0 +1,114 @@
+"""Simulation experiment: truth-model cokriging vs kriging on simulated
+cofields (parity with research/simulation_experiment.ipynb).
+
+Simulates a bivariate Gaussian cofield from known parameters, samples it
+semi-colocated with measurement error, then:
+- fits parameters back by composite WLS *and* exact NLL (recovery check);
+- predicts with the truth model (joint cokriging) and compares MSPE/MAPE
+  against univariate kriging (error-ratio map);
+- runs LOOCV and reports ~95% coverage of standardized residuals.
+
+Writes figures to examples/out/.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+
+OUT = pathlib.Path(__file__).parent / "out"
+OUT.mkdir(exist_ok=True)
+
+# truth parameters (research/simulation_experiment.ipynb cell 3)
+TRUTH = [1.0, 1.0, 1.5, 1.5, 1.5, 0.2, 0.2, 0.2, 0.0, 0.0, -0.6]
+EPS = 0.1
+
+
+def main():
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    from cokriging_tpu.cov import MaternParams, MultivariateMatern
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.estimate import VarioConfig, empirical_variograms
+    from cokriging_tpu.estimate.wls import fit_wls
+    from cokriging_tpu.estimate.nll import fit_nll
+    from cokriging_tpu.predict import JointPredictor
+    from cokriging_tpu.sim import CartesianGrid, BivariateRandomField
+    from cokriging_tpu.plot import (
+        plot_samples,
+        plot_sim_pred,
+        plot_err_ratio,
+        plot_cv_resid,
+        plot_variograms,
+    )
+
+    mod_truth = MultivariateMatern(params=MaternParams.from_flat(np.array(TRUTH)))
+    grid = CartesianGrid(xcount=51, ycount=51)
+    rf = BivariateRandomField(mod_truth, grid, seed=42)
+    samples = rf.sample(size=100, epsilon=[EPS, EPS], seed=7)
+    mf = rf.to_fields(samples)
+    plot_samples(samples).savefig(OUT / "sim_samples.png", dpi=120)
+
+    # --- parameter recovery: WLS on empirical variograms ---
+    spec = ParamSpec(
+        2,
+        sigma_bounds=(0.1, 3.0),
+        len_scale_bounds=(0.02, 1.0),
+        nugget_bounds=(0.0, 0.5),
+    )
+    init = MaternParams.from_flat(
+        np.array([1, 1, 1.5, 1.5, 1.5, 0.1, 0.1, 0.1, 0.01, 0.01, 0.0]), spec=spec
+    )
+    est = empirical_variograms(mf, VarioConfig(max_dist=1.0, n_bins=12, geodesic=False))
+    p_wls, res_wls = fit_wls(est, init=init)
+    plot_variograms(res_wls, names=["Z0", "Z1"]).savefig(
+        OUT / "sim_variograms.png", dpi=120
+    )
+    print("WLS fit:  ", np.round(np.asarray(p_wls.to_flat()), 3).tolist())
+
+    # --- parameter recovery: exact NLL ---
+    p_nll, info = fit_nll(mf, init=init, jitter=1e-8, maxiter=150)
+    print("NLL fit:  ", np.round(np.asarray(p_nll.to_flat()), 3).tolist())
+    print("truth:    ", TRUTH, f"(NLL {info['nll']:.2f}, {info['n_iter']} iters)")
+
+    # --- prediction with the truth model ---
+    pcoords = grid.coords.values
+    jp = JointPredictor(mod_truth, mf)
+    pred_biv = jp(0, pcoords, postprocess=False)
+    plot_sim_pred(rf, pred_biv).savefig(OUT / "sim_prediction.png", dpi=120)
+
+    truth_vals = rf.fields[0]["value"].values
+    diff = truth_vals - pred_biv["pred"].values
+    print(f"cokriging MSPE {np.nanmean(diff**2):.4f}  MAPE {np.nanmean(np.abs(diff)):.4f}")
+
+    # --- univariate comparison (error-ratio map) ---
+    spec1 = ParamSpec(n_procs=1)
+    mod_uni = MultivariateMatern(
+        1,
+        MaternParams.from_flat(
+            np.array([TRUTH[0], TRUTH[2], TRUTH[5], TRUTH[8]]), spec=spec1
+        ),
+    )
+    mf_uni = rf.to_fields(samples, i=0)
+    pred_uni = JointPredictor(mod_uni, mf_uni)(0, pcoords, postprocess=False)
+    diff_u = truth_vals - pred_uni["pred"].values
+    print(f"kriging   MSPE {np.nanmean(diff_u**2):.4f}  MAPE {np.nanmean(np.abs(diff_u)):.4f}")
+    plot_err_ratio(pred_biv, pred_uni).savefig(OUT / "sim_err_ratio.png", dpi=120)
+
+    # --- LOOCV coverage ---
+    cv = jp.cross_validation(0, postprocess=False)
+    z = (cv["residual"] / cv["pred_err"]).replace([np.inf, -np.inf], np.nan).dropna()
+    cover = float((np.abs(z) < 1.96).mean())
+    print(f"LOOCV 95% coverage: {cover:.3f} (z std {z.std():.3f})")
+    plot_cv_resid(cv, "Z0").savefig(OUT / "sim_loocv.png", dpi=120)
+
+
+if __name__ == "__main__":
+    main()
