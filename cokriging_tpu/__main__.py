@@ -1,0 +1,96 @@
+"""Thin CLI: ``python -m cokriging_tpu <command>``.
+
+The reference has no CLI (everything lives in notebooks, SURVEY.md
+section 5); this exposes the canonical workflows:
+
+    sim        simulation experiment (recovery + coverage validation)
+    fit        WLS-fit a staged dataset for one month, save params
+    predict    cokrige a fitted month onto the 0.5-degree land grid
+    bench      run the north-star benchmark
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cokriging_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("sim", help="run the simulation validation experiment")
+    sub.add_parser("bench", help="run the north-star benchmark")
+
+    p_fit = sub.add_parser("fit", help="fit one month of staged data by WLS")
+    p_fit.add_argument("--data", nargs=2, required=True, metavar=("XCO2", "SIF"))
+    p_fit.add_argument("--timestamp", required=True)
+    p_fit.add_argument("--timedeltas", nargs=2, type=int, default=[0, -1])
+    p_fit.add_argument("--max-dist", type=float, default=1.5e3)
+    p_fit.add_argument("--n-bins", type=int, default=15)
+    p_fit.add_argument("--out", default="params.npz")
+
+    p_pred = sub.add_parser("predict", help="cokrige a fitted month")
+    p_pred.add_argument("--data", nargs=2, required=True, metavar=("XCO2", "SIF"))
+    p_pred.add_argument("--params", required=True)
+    p_pred.add_argument("--timestamp", required=True)
+    p_pred.add_argument("--timedeltas", nargs=2, type=int, default=[0, -1])
+    p_pred.add_argument("--process", type=int, default=1)
+    p_pred.add_argument("--max-dist", type=float, default=1e3)
+    p_pred.add_argument("--out", default="predictions.parquet")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "sim":
+        from examples.simulation_experiment import main as sim_main
+
+        sim_main()
+    elif args.cmd == "bench":
+        import bench
+
+        bench.main()
+    elif args.cmd in ("fit", "predict"):
+        from cokriging_tpu.data.grids import main_coords_array, prediction_coords
+        from cokriging_tpu.fields import MultiField
+        from cokriging_tpu.utils.io import load_table, save_params, load_params, save_table
+
+        dfs = [load_table(p) for p in args.data]
+        names = []
+        for df in dfs:
+            var_cols = [c for c in df.columns if c.endswith("_var")]
+            names.append(var_cols[0][: -len("_var")] if var_cols else
+                         [c for c in df.columns if c not in ("time", "lat", "lon")][0])
+        mf = MultiField.from_dataframes(
+            dfs,
+            names,
+            [["lon", "lat"]] * len(dfs),
+            timestamp=args.timestamp,
+            timedeltas=list(args.timedeltas),
+            main_coords=main_coords_array(),
+        )
+        if args.cmd == "fit":
+            from cokriging_tpu.estimate import VarioConfig, empirical_variograms
+            from cokriging_tpu.estimate.wls import fit_wls
+
+            est = empirical_variograms(
+                mf, VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins)
+            )
+            params, result = fit_wls(est)
+            save_params(args.out, params, metadata={"timestamp": args.timestamp})
+            print(params.to_dataframe().to_string(index=False))
+            print(f"cost {result.cost:.6g} -> {args.out}")
+        else:
+            from cokriging_tpu.cov import MultivariateMatern
+            from cokriging_tpu.predict import LocalPredictor
+
+            params = load_params(args.params)
+            mod = MultivariateMatern(params=params)
+            out = LocalPredictor(mod, mf)(
+                args.process, prediction_coords(), max_dist=args.max_dist,
+                postprocess=False,
+            )
+            save_table(args.out, out)
+            print(out[["pred", "pred_err"]].describe().to_string())
+            print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

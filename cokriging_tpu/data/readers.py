@@ -100,6 +100,30 @@ def read_transcom(ds_or_df) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def read_transcom_binary(path: str) -> pd.DataFrame:
+    """Read the raw TransCom-3 region map from its big-endian IDL binary
+    (360 x 180 int32 grid; the reference converts it with an R script,
+    scripts/convert_bin_file.R:20-90) and return the land-region frame."""
+    raw = np.fromfile(path, dtype=">i4")
+    # IDL unformatted files wrap records in 4-byte length markers
+    if raw.size == 360 * 180 + 2:
+        raw = raw[1:-1]
+    if raw.size != 360 * 180:
+        raise ValueError(f"Unexpected TransCom binary size: {raw.size}")
+    region = raw.reshape(180, 360).astype(np.int32)
+    lon = np.arange(-179.5, 180.0, 1.0)
+    lat = np.arange(-89.5, 90.0, 1.0)
+    lon_g, lat_g = np.meshgrid(lon, lat)
+    df = pd.DataFrame(
+        {
+            "lon": lon_g.ravel(),
+            "lat": lat_g.ravel(),
+            "region": region.ravel().astype(float),
+        }
+    )
+    return read_transcom(df)
+
+
 def open_mf(paths: Sequence[str], prep_fn) -> pd.DataFrame:
     """Multi-granule ingest: apply a reader across files and concatenate
     (the reference's open_mfdataset+preprocess pattern,

@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the pairwise hot path.
+
+``variogram_bin_pallas`` fuses the O(n^2) work of the empirical variogram
+(reference hot loop: src/fields.py:192-206, 318-342, 378-386) into one
+kernel: per (row-tile, col-tile) it computes haversine/Euclidean distances,
+the semivariogram/covariogram cloud, right-closed bin assignment, and
+accumulates per-bin sums/counts in VMEM — the n x n matrices never exist.
+
+The TPU grid is executed sequentially, so all programs map onto the same
+output block and accumulate in place (init at program (0, 0)).
+
+Layout: coordinate/value vectors arrive as column/row matrices —
+A-side (n, 1), B-side (1, m) — so a (BM, 1) x (1, BN) broadcast forms each
+tile on the VPU. Bin edges are broadcast compares against a (1, MAX_BINS)
+row (unrolled), matching pandas-cut right-closed semantics
+(src/fields.py:213-216).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cokriging_tpu.utils.config import EARTH_RADIUS_KM
+from cokriging_tpu.kernels.distance import ZERO_SNAP
+
+BM = 256  # rows per tile
+BN = 512  # cols per tile
+
+
+def _tile_distance(lat_a, lon_a, lat_b, lon_b, geodesic):
+    if geodesic:
+        p1 = jnp.deg2rad(lat_a)
+        p2 = jnp.deg2rad(lat_b)
+        dlat = p1 - p2
+        dlon = jnp.deg2rad(lon_a) - jnp.deg2rad(lon_b)
+        s = (
+            jnp.sin(0.5 * dlat) ** 2
+            + jnp.cos(p1) * jnp.cos(p2) * jnp.sin(0.5 * dlon) ** 2
+        )
+        d = 2.0 * EARTH_RADIUS_KM * jnp.arcsin(jnp.sqrt(jnp.clip(s, 0.0, 1.0)))
+    else:
+        d = jnp.sqrt((lat_a - lat_b) ** 2 + (lon_a - lon_b) ** 2)
+    return jnp.where(d > ZERO_SNAP, d, 0.0)
+
+
+def _make_kernel(n_bins, geodesic):
+    def kernel(
+        lat_a_ref, lon_a_ref, val_a_ref,
+        lat_b_ref, lon_b_ref, val_b_ref,
+        edges_ref, flags_ref, dims_ref,
+        out_ref,
+    ):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        lat_a = lat_a_ref[:]  # (BM, 1)
+        lon_a = lon_a_ref[:]
+        val_a = val_a_ref[:]
+        lat_b = lat_b_ref[:]  # (1, BN)
+        lon_b = lon_b_ref[:]
+        val_b = val_b_ref[:]
+
+        d = _tile_distance(lat_a, lon_a, lat_b, lon_b, geodesic)
+
+        marginal = flags_ref[0] == 1
+        covariogram = flags_ref[1] == 1
+        n_rows = dims_ref[0]
+        n_cols = dims_ref[1]
+        max_dist = edges_ref[0, n_bins + 1]
+
+        diff = val_a - val_b
+        cloud = jnp.where(covariogram, val_a * val_b, 0.5 * diff * diff)
+
+        row_ids = i * BM + jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 0)
+        col_ids = j * BN + jax.lax.broadcasted_iota(jnp.int32, (BM, BN), 1)
+        valid = (row_ids < n_rows) & (col_ids < n_cols) & (d <= max_dist)
+        valid = valid & (~marginal | (row_ids < col_ids))
+
+        # right-closed bin index: count of edges strictly below d, minus 1
+        idx = jnp.zeros((BM, BN), jnp.int32)
+        for k in range(n_bins + 1):
+            idx = idx + (edges_ref[0, k] < d).astype(jnp.int32)
+        idx = jnp.clip(idx - 1, 0, n_bins - 1)
+
+        for b in range(n_bins):
+            sel = valid & (idx == b)
+            out_ref[0, b] += jnp.sum(jnp.where(sel, cloud, 0.0))
+            out_ref[1, b] += jnp.sum(sel.astype(out_ref.dtype))
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_bins", "geodesic"))
+def _variogram_bin_call(
+    lat_a, lon_a, val_a, lat_b, lon_b, val_b, edges_row, flags, dims,
+    n_bins, geodesic,
+):
+    n_pad, m_pad = lat_a.shape[0], lat_b.shape[0]
+    grid = (n_pad // BM, m_pad // BN)
+    kernel = _make_kernel(n_bins, geodesic)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # edges (1, n_bins+2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dims (2,)
+        ],
+        out_specs=pl.BlockSpec(
+            (2, n_bins), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n_bins), lat_a.dtype),
+    )(
+        lat_a[:, None], lon_a[:, None], val_a[:, None],
+        lat_b[None, :], lon_b[None, :], val_b[None, :],
+        edges_row, flags, dims,
+    )
+    return out
+
+
+def variogram_bin_pallas(
+    coords_a, values_a, coords_b, values_b, edges,
+    marginal, covariogram, max_dist, geodesic, n_bins,
+):
+    """Fused pairwise variogram binning; returns (sums, counts).
+
+    Drop-in equivalent of estimate.empirical._pass_bin (values must already
+    be centered; padding handled here). Coordinates are [lat, lon] rows
+    (degrees) for geodesic, [x, y] otherwise.
+    """
+    ca = np.asarray(coords_a)
+    cb = np.asarray(coords_b)
+    va = np.asarray(values_a)
+    vb = np.asarray(values_b)
+    dtype = np.float32 if ca.dtype == np.float32 else np.float64
+    n, m = len(ca), len(cb)
+
+    def pad(x, mult):
+        p = (-len(x)) % mult
+        return np.pad(x, (0, p)) if p else x
+
+    lat_a = pad(ca[:, 0].astype(dtype), BM)
+    lon_a = pad(ca[:, 1].astype(dtype), BM)
+    val_a = pad(va.astype(dtype), BM)
+    lat_b = pad(cb[:, 0].astype(dtype), BN)
+    lon_b = pad(cb[:, 1].astype(dtype), BN)
+    val_b = pad(vb.astype(dtype), BN)
+
+    # edges row: [edges (n_bins+1), max_dist] padded into one VMEM row
+    edges_row = np.zeros((1, n_bins + 2), dtype)
+    edges_row[0, : n_bins + 1] = np.asarray(edges, dtype)
+    edges_row[0, n_bins + 1] = max_dist
+    flags = np.array([1 if marginal else 0, 1 if covariogram else 0], np.int32)
+    dims = np.array([n, m], np.int32)
+
+    out = _variogram_bin_call(
+        jnp.asarray(lat_a), jnp.asarray(lon_a), jnp.asarray(val_a),
+        jnp.asarray(lat_b), jnp.asarray(lon_b), jnp.asarray(val_b),
+        jnp.asarray(edges_row), jnp.asarray(flags), jnp.asarray(dims),
+        n_bins, geodesic,
+    )
+    out = np.asarray(out)
+    return out[0], out[1]

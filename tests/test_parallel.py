@@ -1,0 +1,109 @@
+"""Device-mesh sharding paths on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cokriging_tpu.cov import MaternParams, MultivariateMatern
+from cokriging_tpu.cov.params import ParamSpec
+from cokriging_tpu.sim import CartesianGrid, BivariateRandomField
+from cokriging_tpu.predict import LocalPredictor
+from cokriging_tpu.parallel import (
+    make_mesh,
+    sharded_local_predict,
+    sharded_wls_grad_step,
+)
+
+SIM_FLAT = [1.0, 1.0, 1.5, 1.5, 1.5, 0.2, 0.2, 0.2, 0.0, 0.0, -0.6]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mod = MultivariateMatern(params=MaternParams.from_flat(np.array(SIM_FLAT)))
+    grid = CartesianGrid(xcount=17, ycount=17)
+    rf = BivariateRandomField(mod, grid, seed=5)
+    mf = rf.to_fields(rf.sample(size=50, epsilon=[0.1, 0.1], seed=6))
+    return mod, grid, mf
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_local_predict_matches_single_device(setup):
+    mod, grid, mf = setup
+    lp = LocalPredictor(mod, mf)
+    pcoords = grid.coords.values[::4]  # deliberately not divisible by 8
+    single = lp(0, pcoords, max_dist=0.6, postprocess=False)
+    pred, err = sharded_local_predict(lp, 0, pcoords, max_dist=0.6)
+    np.testing.assert_allclose(pred, single["pred"].values, rtol=1e-10)
+    np.testing.assert_allclose(err, single["pred_err"].values, rtol=1e-10)
+
+
+def test_sharded_wls_step_reduces_cost(setup):
+    mod, grid, mf = setup
+    import warnings
+
+    from cokriging_tpu.estimate import VarioConfig, empirical_variograms
+    from cokriging_tpu.estimate.wls import composite_wls_cost
+    import jax.numpy as jnp
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        est = empirical_variograms(mf, VarioConfig(1.0, 8, geodesic=False))
+    spec = ParamSpec(
+        2, sigma_bounds=(0.1, 3.0), len_scale_bounds=(0.02, 1.0),
+        nugget_bounds=(0.0, 0.5),
+    )
+    B = 11  # not divisible by 8
+    rng = np.random.default_rng(0)
+    flats = np.tile(
+        [1.0, 1.0, 1.5, 1.5, 1.5, 0.1, 0.1, 0.1, 0.01, 0.01, 0.0], (B, 1)
+    ) + rng.normal(scale=0.02, size=(B, 11))
+    lo, hi = spec.bounds()
+    flats = np.clip(flats, lo, hi)
+    centers = np.tile(est.bin_centers[None], (B, 1, 1))
+    means = np.nan_to_num(np.tile(est.bin_means[None], (B, 1, 1)), nan=1.0)
+    counts = np.tile(est.bin_counts[None], (B, 1, 1))
+
+    new, costs = sharded_wls_grad_step(
+        flats, centers, means, counts, est.pairs, spec, lr=1e-5
+    )
+    assert new.shape == (B, 11)
+    # a small gradient step from a non-optimal point lowers each cost
+    costs_after = np.array(
+        [
+            float(
+                composite_wls_cost(
+                    jnp.asarray(new[k]),
+                    jnp.asarray(centers[k]),
+                    jnp.asarray(means[k]),
+                    jnp.asarray(counts[k]),
+                    tuple(est.pairs),
+                    spec,
+                )
+            )
+            for k in range(B)
+        ]
+    )
+    assert (costs_after <= costs + 1e-9).mean() > 0.8
+
+
+def test_univariate_local_kriging(setup):
+    """configs[0]: univariate Matern kriging through the same predictor."""
+    mod, grid, mf = setup
+    from cokriging_tpu.fields import MultiField
+
+    spec1 = ParamSpec(n_procs=1)
+    mod1 = MultivariateMatern(
+        1, MaternParams.from_flat(np.array([1.0, 1.5, 0.2, 0.0]), spec=spec1)
+    )
+    mf1 = MultiField(fields=[mf.fields[0]])
+    lp = LocalPredictor(mod1, mf1)
+    out = lp(0, grid.coords.values[::5], max_dist=0.5, postprocess=False)
+    assert np.isfinite(out["pred"]).all()
+    assert (out["pred_err"] >= 0).all()
+    cv = lp.cross_validation(0, max_dist=0.5, postprocess=False)
+    assert np.isfinite(cv["residual"]).all()
