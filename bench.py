@@ -96,15 +96,15 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
         timestamp=None,
         timedeltas=None,
         pairs=pairs,
-        bin_centers=np.stack([s[0] for s in stacks]),
-        bin_means=np.stack([s[1] for s in stacks]),
-        bin_counts=np.stack([s[2] for s in stacks]),
+        bin_centers=np.stack([s[0] for s in stacks]).astype(dtype),
+        bin_means=np.stack([s[1] for s in stacks]).astype(dtype),
+        bin_counts=np.stack([s[2] for s in stacks]).astype(dtype),
     )
 
     # --- 2. composite WLS fit (fully on-device L-BFGS: one dispatch, not
     #        one round-trip through the TPU relay per objective eval) ---
     _log("WLS fit")
-    params, result = fit_wls(est, method="adam", maxiter=400)
+    params, result = fit_wls(est, method="adam", maxiter=800)
 
     # --- 3. local cokriging on the 0.5-degree land grid, data on the
     #        main 4x5 grid (reference workflow: coords_main for prediction,

@@ -22,6 +22,8 @@ A thin ``MultivariateMatern`` class provides the reference's OO surface
 (correlation/covariance/.../variograms/fit) on top of these functions.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +42,10 @@ def matern_correlation(nu, len_scale, h):
     h == 0 maps to 1 exactly; non-finite intermediate values map to 0
     (far-field underflow for large nu); result clamped to [0, inf).
     """
-    h = jnp.abs(jnp.asarray(h, jnp.result_type(float)))
+    h = jnp.asarray(h)
+    if not jnp.issubdtype(h.dtype, jnp.floating):
+        h = h.astype(jnp.result_type(float))
+    h = jnp.abs(h)
     positive = h > 0.0
     hs = jnp.where(positive, h, 1.0) / len_scale
     arg = jnp.sqrt(2.0 * nu) * hs
@@ -99,6 +104,24 @@ def variogram_value(params: MaternParams, i: int, j: int, h, covariogram=False):
     if i == j:
         return semivariance(params, i, h)
     return cross_semivariance(params, i, j, h)
+
+
+def joint_covariance_from_coords(params: MaternParams, coords_tuple, geodesic):
+    """One jit'd program: cross-distance blocks + joint block covariance.
+
+    Eager assembly dispatches hundreds of small ops through the device
+    relay (seconds of pure latency on remote TPU); this fuses the whole
+    build into a single call.
+    """
+    return _joint_cov_impl(params, tuple(coords_tuple), bool(geodesic))
+
+
+@partial(jax.jit, static_argnames=("geodesic",))
+def _joint_cov_impl(params, coords_tuple, geodesic):
+    from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+    dists = joint_distance_blocks(list(coords_tuple), geodesic=geodesic)
+    return block_covariance(params, dists)
 
 
 def block_covariance(params: MaternParams, dists):

@@ -268,6 +268,15 @@ def produce_climatology_conus(
     return out.groupby(pd.Grouper(key="time", freq=freq)).mean().reset_index()
 
 
+def to_frame(coords: np.ndarray, **kwargs) -> pd.DataFrame:
+    """Format per-location variables as an indexed frame
+    (the reference's to_xarray, src/data_utils.py:363-372; coords are
+    [[lat, lon]] rows)."""
+    return pd.DataFrame(
+        {"lat": coords[:, 0], "lon": coords[:, 1], **kwargs}
+    ).set_index(["lon", "lat"])
+
+
 def prediction_coords(
     extents: Tuple = CONUS_EXTENTS,
     lon_res: float = 0.5,

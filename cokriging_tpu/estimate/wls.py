@@ -87,22 +87,38 @@ def composite_wls_cost(flat, centers, means, counts, pairs, spec: ParamSpec):
     ``pairs`` is a static tuple of (i, j); rows of the arrays align to it.
     Bins with zero count, NaN mean, or zero model value are excluded
     (src/model.py:277-283 drops yfit == 0).
+
+    Both marginal and cross groups reduce to fit = A - B * M(nu, ls, h):
+    semivariance  = (sigma_i^2 + tau_i^2) - sigma_i^2 M    (src/model.py:209)
+    cross-semivar = sill - rho sigma_i sigma_j M           (src/model.py:215)
+    so ALL pairs evaluate through ONE stacked Matern/K_nu call — the K_nu
+    inner loops are sequential-latency-bound, making call count (not FLOPs)
+    the cost driver inside on-device optimizer scans.
     """
+    from cokriging_tpu.cov.matern import matern_correlation
+
     params = MaternParams.from_flat(flat, spec=spec)
-    total = jnp.zeros((), flat.dtype)
-    for k, (i, j) in enumerate(pairs):
-        h = centers[k]
-        if i == j:
-            fit = semivariance(params, i, h)
-        else:
-            fit = cross_semivariance(params, i, j, h)
-        emp = means[k]
-        cnt = counts[k]
-        valid = (cnt > 0) & jnp.isfinite(emp) & (fit != 0.0)
-        fit_safe = jnp.where(fit == 0.0, 1.0, fit)
-        r = (emp - fit_safe) / fit_safe
-        total = total + jnp.sum(jnp.where(valid, cnt * r * r, 0.0))
-    return total
+    ii = np.array([i for i, _ in pairs])
+    jj = np.array([j for _, j in pairs])
+    marginal = jnp.asarray(ii == jj)
+    sill = 0.5 * jnp.sum(params.sigma**2 + params.nugget)
+    a_coef = jnp.where(
+        marginal, params.sigma[ii] ** 2 + params.nugget[ii], sill
+    )
+    b_coef = jnp.where(
+        marginal,
+        params.sigma[ii] ** 2,
+        params.rho[ii, jj] * params.sigma[ii] * params.sigma[jj],
+    )
+    m = matern_correlation(
+        params.nu[ii, jj][:, None], params.len_scale[ii, jj][:, None], centers
+    )
+    fit = a_coef[:, None] - b_coef[:, None] * m
+
+    valid = (counts > 0) & jnp.isfinite(means) & (fit != 0.0)
+    fit_safe = jnp.where(fit == 0.0, 1.0, fit)
+    r = (means - fit_safe) / fit_safe
+    return jnp.sum(jnp.where(valid, counts * r * r, 0.0))
 
 
 @partial(jax.jit, static_argnames=("pairs", "spec"))
@@ -163,7 +179,7 @@ def fit_wls(
         params = MaternParams.from_flat(x, spec=spec)
         success = bool(np.isfinite(cost))
     elif method == "adam":
-        fitter = jax.jit(make_device_adam_fitter(pairs, spec, max(maxiter, 2000)))
+        fitter = jax.jit(make_device_adam_fitter(pairs, spec, max(maxiter, 800)))
         x, cost = fitter(jnp.asarray(x0), centers, means, counts)
         params = MaternParams.from_flat(x, spec=spec)
         cost, n_iter = float(cost), maxiter
@@ -204,38 +220,43 @@ def _box_inverse(x, lo, hi):
     return jnp.log(z) - jnp.log1p(-z)
 
 
-def make_device_adam_fitter(pairs, spec, maxiter=2000, lr=0.05):
-    """Small-graph on-device fitter: Adam under the sigmoid box transform.
+def make_device_adam_fitter(pairs, spec, maxiter=800, lr=0.3):
+    """Small-graph on-device fitter: Adam with a cosine-decayed learning
+    rate under the sigmoid box transform.
 
     Compiles in seconds (unlike the L-BFGS line-search graph, which the
-    remote TPU compile service can take many minutes over) and reaches
-    within a few percent of the L-BFGS optimum on variogram problems —
-    the right trade for latency-sensitive or massively-batched fits.
+    remote TPU compile service can take many minutes over) and reaches or
+    beats the L-BFGS-B optimum on variogram problems — the right trade for
+    latency-sensitive or massively-batched fits. ``lr`` is the schedule
+    peak.
     """
     import optax
 
     lo_np, hi_np = spec.bounds()
-    lo = jnp.asarray(lo_np)
-    hi = jnp.asarray(hi_np)
-
-    def objective(u, centers, means, counts):
-        x = _box_forward(u, lo, hi)
-        return composite_wls_cost(x, centers, means, counts, pairs, spec)
-
-    opt = optax.adam(lr)
+    opt = optax.adam(optax.cosine_decay_schedule(lr, maxiter))
 
     def fit(x0, centers, means, counts):
-        u0 = _box_inverse(x0, lo, hi)
+        # run the whole fit in the estimate's dtype (f32 on TPU halves the
+        # sequential K_nu loop trips, which bound the per-step wall clock)
+        dt = centers.dtype
+        lo = jnp.asarray(lo_np, dt)
+        hi = jnp.asarray(hi_np, dt)
+
+        def objective(u):
+            x = _box_forward(u, lo, hi)
+            return composite_wls_cost(x, centers, means, counts, pairs, spec)
+
+        u0 = _box_inverse(jnp.asarray(x0, dt), lo, hi)
 
         def step(carry, _):
             u, state = carry
-            value, grad = jax.value_and_grad(objective)(u, centers, means, counts)
+            value, grad = jax.value_and_grad(objective)(u)
             updates, state = opt.update(grad, state, u)
             u = optax.apply_updates(u, updates)
             return (u, state), value
 
         (u, _), _ = jax.lax.scan(step, (u0, opt.init(u0)), None, length=maxiter)
-        return _box_forward(u, lo, hi), objective(u, centers, means, counts)
+        return _box_forward(u, lo, hi), objective(u)
 
     return fit
 

@@ -44,8 +44,12 @@ _A3 = _EULER_GAMMA**3 / 6.0 - _EULER_GAMMA * _PI**2 / 12.0 + _ZETA3 / 3.0
 NU_MAX = 30
 _N_RECUR = NU_MAX  # static unroll count for the order recurrence
 
-_SERIES_ITERS = 40  # x <= 2: terms decay ~ (x^2/4)^i / i!
-_CF2_ITERS = 80  # x > 2: Steed CF2; worst case near x = 2
+# Iteration counts by dtype: convergence is to machine eps, so f32 needs
+# roughly half the trips — and the loops are sequential-latency-bound on
+# TPU, so trip count is wall-clock.
+_SERIES_ITERS = {jnp.dtype(jnp.float64): 40, jnp.dtype(jnp.float32): 22}
+_CF2_ITERS = {jnp.dtype(jnp.float64): 80, jnp.dtype(jnp.float32): 44}
+_FD_H = {jnp.dtype(jnp.float64): 1e-5, jnp.dtype(jnp.float32): 1e-3}
 
 
 def _gam12(mu):
@@ -108,8 +112,9 @@ def _temme_series(mu, x):
         ksum1 = ksum1 + c * (p - fi * ff)
         return ff, p, q, c, ksum, ksum1
 
+    n_iters = _SERIES_ITERS[jnp.dtype(x.dtype)]
     ff, p, q, c, ksum, ksum1 = jax.lax.fori_loop(
-        1, _SERIES_ITERS + 1, body, (ff, p, q, c, ksum, ksum1)
+        1, n_iters + 1, body, (ff, p, q, c, ksum, ksum1)
     )
     k_mu = ksum
     k_mu1 = ksum1 * (2.0 / x)
@@ -167,8 +172,9 @@ def _steed_cf2(mu, x):
             keep(q1_n, q1), keep(q2_n, q2), keep(s_n, s), done_n,
         )
 
+    n_iters = _CF2_ITERS[jnp.dtype(x.dtype)]
     a, b, c, d, h, delh, q, q1, q2, s, done = jax.lax.fori_loop(
-        2, _CF2_ITERS + 2, body, (a, b, c, d, h, delh, q, q1, q2, s, done)
+        2, n_iters + 2, body, (a, b, c, d, h, delh, q, q1, q2, s, done)
     )
     h = a1 * h
     k_mu = jnp.sqrt(_PI / (2.0 * x)) * jnp.exp(-x) / s
@@ -216,6 +222,11 @@ def kv(nu, x):
     """
     nu = jnp.abs(jnp.asarray(nu))
     x = jnp.asarray(x)
+    # unify dtypes: a mixed f32/f64 pair would make the fixed-point loop
+    # carries disagree between init (nu-derived) and body (x-derived)
+    dtype = jnp.result_type(nu.dtype, x.dtype, jnp.float32)
+    nu = nu.astype(dtype)
+    x = x.astype(dtype)
     x_safe = jnp.where(x > 0.0, x, 1.0)
     out = _kv_positive(nu, x_safe)
     out = jnp.where(x > 0.0, out, jnp.where(x == 0.0, jnp.inf, jnp.nan))
@@ -228,23 +239,31 @@ def _kv_jvp(primals, tangents):
     dnu, dx = tangents
     nu = jnp.abs(jnp.asarray(nu))
     x = jnp.asarray(x)
-    primal_out = kv(nu, x)
+    dtype = jnp.result_type(nu.dtype, x.dtype, jnp.float32)
+    nu, x = jnp.broadcast_arrays(nu.astype(dtype), x.astype(dtype))
 
-    # dK/dx = -(K_{nu-1} + K_{nu+1}) / 2; K_{nu-1} = K_{|nu-1|}.
-    k_m = kv(jnp.abs(nu - 1.0), x)
-    k_p = kv(nu + 1.0, x)
-    dk_dx = -0.5 * (k_m + k_p)
-
-    # dK/dnu via central difference (order derivative lacks a closed form).
-    # h balances FD cancellation against truncation on BOTH backends: the
-    # TPU's emulated f64 evaluates kv to ~1e-10 relative, so h must be
-    # large enough that (kv_err * K / h) stays below the truncation term.
-    h = 1e-5
-    dk_dnu = (kv(nu + h, x) - kv(jnp.abs(nu - h), x)) / (2.0 * h)
+    # One *stacked* kv evaluation serves the primal and every derivative
+    # term — the inner Temme/CF2 loops are sequential latency-bound, so 5
+    # separate calls would cost 5x the wall clock of one batched call:
+    #   rows: K_nu | K_{|nu-1|} | K_{nu+1} | K_{nu+h} | K_{|nu-h|}
+    # dK/dx = -(K_{nu-1} + K_{nu+1})/2 (analytic);
+    # dK/dnu by central difference (no closed form); h balances FD
+    # cancellation vs truncation on both backends (TPU's emulated f64
+    # evaluates kv to ~1e-10 relative).
+    h = jnp.asarray(_FD_H[jnp.dtype(dtype)], dtype)
+    x_safe = jnp.where(x > 0.0, x, 1.0)
+    nus = jnp.stack(
+        [nu, jnp.abs(nu - 1.0), nu + 1.0, nu + h, jnp.abs(nu - h)]
+    )
+    ks = _kv_positive(nus, jnp.broadcast_to(x_safe, nus.shape))
+    bad = jnp.where(x > 0.0, jnp.nan, jnp.where(x == 0.0, jnp.inf, jnp.nan))
+    primal_out = jnp.where(x > 0.0, ks[0], bad)
+    dk_dx = -0.5 * (ks[1] + ks[2])
+    dk_dnu = (ks[3] - ks[4]) / (2.0 * h)
 
     dnu = jnp.zeros_like(primal_out) if dnu is None else dnu
     dx = jnp.zeros_like(primal_out) if dx is None else dx
-    tangent_out = dk_dnu * dnu + dk_dx * dx
+    tangent_out = jnp.where(x > 0.0, dk_dnu * dnu + dk_dx * dx, jnp.nan)
     return primal_out, tangent_out
 
 

@@ -199,6 +199,25 @@ def resid_climatology(df: pd.DataFrame, columns: List[str]):
     return fig
 
 
+def resid_coord_avg(mf):
+    """Residual averages by latitude and by longitude per field —
+    modernization of the reference's stale resid_coord_avg
+    (src/plot.py:261-322, which still used the removed field_1/field_2
+    attributes)."""
+    n = mf.n_procs
+    fig, axes = plt.subplots(2, n, figsize=(5 * n, 7), squeeze=False)
+    for k, f in enumerate(mf.fields):
+        df = f.to_dataframe()
+        c1, c2 = df.columns[0], df.columns[1]
+        by1 = df.groupby(c1)[f.name].mean()
+        by2 = df.groupby(c2)[f.name].mean()
+        axes[0][k].plot(by1.index, by1.values, marker="o", ms=3)
+        axes[0][k].set_title(f"{f.name}: mean residual by {c1}")
+        axes[1][k].plot(by2.index, by2.values, marker="o", ms=3, color="C1")
+        axes[1][k].set_title(f"{f.name}: mean residual by {c2}")
+    return fig
+
+
 def qq_plots(mf):
     """Normal Q-Q plots of each field's standardized residuals
     (reference qq_plots, src/plot.py:182-193, modernized to the current

@@ -72,12 +72,35 @@ def _joint_predict_core(params, coords_tuple, values_tuple, pcoords, i, geodesic
     pred_cov = covariance(params, i, dpp, use_nugget=True)
 
     z = jnp.concatenate(values_tuple)
-    chol = jax.scipy.linalg.cho_factor(joint_cov, lower=True)
-    weights = jax.scipy.linalg.cho_solve(chol, pred_cross)  # (ndata, npred)
+    weights = _refined_posdef_solve(joint_cov, pred_cross)  # (ndata, npred)
     pred = weights.T @ z
     pred_var = jnp.diagonal(pred_cov - weights.T @ pred_cross)
     pred_err = jnp.sqrt(jnp.maximum(pred_var, 0.0))
     return pred, pred_err
+
+
+def _refined_posdef_solve(a, b, refine_iters: int = 2):
+    """Solve a X = b for PD a via Cholesky, with mixed-precision iterative
+    refinement when running in f32.
+
+    On TPU, f64 is software-emulated (~50x slower) while f32 Cholesky rides
+    the MXU; factorizing in the working dtype and applying `refine_iters`
+    residual corrections recovers most of the lost accuracy (standard
+    Wilkinson refinement — each pass multiplies the error by the f32
+    rounding level). In f64 the extra passes are ~free and harmless.
+    """
+    chol = jax.scipy.linalg.cho_factor(a, lower=True)
+    x = jax.scipy.linalg.cho_solve(chol, b)
+    if refine_iters and a.dtype == jnp.float32:
+        # the residual must be formed above working precision or the
+        # correction is pure rounding noise; two f64 matmuls are cheap
+        # next to the O(n^3) f32 factorization
+        a64 = a.astype(jnp.float64)
+        b64 = b.astype(jnp.float64)
+        for _ in range(refine_iters):
+            r = (b64 - a64 @ x.astype(jnp.float64)).astype(jnp.float32)
+            x = x + jax.scipy.linalg.cho_solve(chol, r)
+    return x
 
 
 @partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))

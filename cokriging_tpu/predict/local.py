@@ -153,11 +153,14 @@ class LocalPredictor:
         self.mod = mod
         self.mf = mf
         self.covariates = covariates
-        # joint covariance on the main grid, assembled once
-        # (reference _cov_blocks, src/point_prediction.py:98-113)
+        # joint covariance on the main grid, assembled once in one jit'd
+        # program (reference _cov_blocks, src/point_prediction.py:98-113)
+        from cokriging_tpu.cov.matern import joint_covariance_from_coords
+
         coords = [f.coords_main for f in mf.fields]
-        dists = joint_distance_blocks(coords, geodesic=mf.geodesic)
-        self.joint_cov = block_covariance(mod.params, dists)
+        self.joint_cov = joint_covariance_from_coords(
+            mod.params, coords, mf.geodesic
+        )
         self._coords = tuple(jnp.asarray(c) for c in coords)
         self._values = tuple(jnp.asarray(f.values_main) for f in mf.fields)
         self._sizes = tuple(int(v.shape[0]) for v in self._values)
