@@ -25,10 +25,45 @@ warnings.filterwarnings("ignore")
 
 VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 
+# The axon remote-compile service occasionally loses a compile RPC and the
+# process waits forever. A watchdog re-execs the benchmark once if any
+# stage stalls; a second stall aborts loudly.
+_STALL_SECONDS = float(os.environ.get("BENCH_STALL_SECONDS", 1200))
+_HEARTBEAT = {"t": time.monotonic()}
+
 
 def _log(msg):
+    _HEARTBEAT["t"] = time.monotonic()
     if VERBOSE:
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _start_watchdog():
+    import threading
+
+    already_retried = os.environ.get("_BENCH_RETRY", "0") == "1"
+
+    def watch():
+        while True:
+            time.sleep(30)
+            if time.monotonic() - _HEARTBEAT["t"] > _STALL_SECONDS:
+                if already_retried:
+                    print(
+                        "[bench] stage stalled twice; giving up",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    os._exit(3)
+                print(
+                    f"[bench] stage stalled > {_STALL_SECONDS:.0f}s "
+                    "(lost compile RPC); re-executing once",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                env = dict(os.environ, _BENCH_RETRY="1")
+                os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+    threading.Thread(target=watch, daemon=True).start()
 
 N_PER_PROC = 12_500  # paired obs ~ 25k
 TARGET_SECONDS = 10.0
@@ -131,6 +166,9 @@ def main():
     import jax
 
     from cokriging_tpu.data.grids import prediction_coords, main_coords_array
+
+    _start_watchdog()
+    _log("start")
 
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
     c1, v1, c2, v2 = build_inputs(dtype)
