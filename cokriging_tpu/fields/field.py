@@ -128,6 +128,8 @@ class Field:
         trend_vals = fit_linear_trend(tindex, mean_series.values)
         trend_by_time = pd.Series(trend_vals, index=mean_series.index)
         df[data_name] = df[data_name] - df["time"].map(trend_by_time)
+        if ts not in trend_by_time.index:
+            raise ValueError(f"No data at timestamp {timestamp} for {data_name}.")
         temporal_trend = float(trend_by_time.loc[ts])
 
         # 2. select the timestamp, drop missing data rows
