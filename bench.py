@@ -139,7 +139,7 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
     # --- 2. composite WLS fit (fully on-device L-BFGS: one dispatch, not
     #        one round-trip through the TPU relay per objective eval) ---
     _log("WLS fit")
-    params, result = fit_wls(est, method="adam", maxiter=800)
+    params, result = fit_wls(est, method="adam", maxiter=600)
 
     # --- 3. local cokriging on the 0.5-degree land grid, data on the
     #        main 4x5 grid (reference workflow: coords_main for prediction,

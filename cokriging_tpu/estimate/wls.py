@@ -121,6 +121,30 @@ def composite_wls_cost(flat, centers, means, counts, pairs, spec: ParamSpec):
     return jnp.sum(jnp.where(valid, counts * r * r, 0.0))
 
 
+def validity_penalty(params: MaternParams, centers, n_h: int = 96):
+    """Smooth Cauchy-Schwarz violation penalty on a dense lag grid from 0
+    to the largest fitting lag: sum relu(|C_ij| - sqrt(C_ii C_jj))^2.
+    Violations typically live BELOW the smallest bin center (a cross
+    smoothness rougher than the marginals makes C_ij decay slower near 0),
+    so the grid must reach h -> 0, not just the bin centers. Zero inside
+    the valid region, so it never biases an already-valid fit. (The
+    reference never enforced validity — src/model.py:172, 336-343 are
+    TODO stubs.)"""
+    from cokriging_tpu.cov.matern import covariance, cross_covariance
+
+    p = params.n_procs
+    h = jnp.linspace(0.0, 1.0, n_h).astype(centers.dtype) * jnp.max(centers)
+    total = jnp.zeros((), h.dtype)
+    for i in range(p):
+        for j in range(i + 1, p):
+            cij = cross_covariance(params, i, j, h)
+            cii = covariance(params, i, h, use_nugget=False)
+            cjj = covariance(params, j, h, use_nugget=False)
+            gap = jnp.abs(cij) - jnp.sqrt(cii * cjj)
+            total = total + jnp.sum(jnp.maximum(gap, 0.0) ** 2)
+    return total
+
+
 @partial(jax.jit, static_argnames=("pairs", "spec"))
 def _cost_and_grad(flat, centers, means, counts, pairs, spec):
     return jax.value_and_grad(composite_wls_cost)(
@@ -133,6 +157,7 @@ def fit_wls(
     init: Optional[MaternParams] = None,
     method: str = "scipy",
     maxiter: int = 500,
+    validity_weight: float = 0.0,
 ) -> Tuple[MaternParams, FitResult]:
     """Fit Matern parameters to an EmpiricalVariogram by composite WLS.
 
@@ -179,7 +204,11 @@ def fit_wls(
         params = MaternParams.from_flat(x, spec=spec)
         success = bool(np.isfinite(cost))
     elif method == "adam":
-        fitter = jax.jit(make_device_adam_fitter(pairs, spec, max(maxiter, 800)))
+        fitter = jax.jit(
+            make_device_adam_fitter(
+                pairs, spec, maxiter, validity_weight=validity_weight
+            )
+        )
         x, cost = fitter(jnp.asarray(x0), centers, means, counts)
         params = MaternParams.from_flat(x, spec=spec)
         cost, n_iter = float(cost), maxiter
@@ -220,7 +249,7 @@ def _box_inverse(x, lo, hi):
     return jnp.log(z) - jnp.log1p(-z)
 
 
-def make_device_adam_fitter(pairs, spec, maxiter=800, lr=0.3):
+def make_device_adam_fitter(pairs, spec, maxiter=800, lr=0.3, validity_weight=0.0):
     """Small-graph on-device fitter: Adam with a cosine-decayed learning
     rate under the sigmoid box transform.
 
@@ -244,7 +273,13 @@ def make_device_adam_fitter(pairs, spec, maxiter=800, lr=0.3):
 
         def objective(u):
             x = _box_forward(u, lo, hi)
-            return composite_wls_cost(x, centers, means, counts, pairs, spec)
+            cost = composite_wls_cost(x, centers, means, counts, pairs, spec)
+            if validity_weight:
+                params_x = MaternParams.from_flat(x, spec=spec)
+                cost = cost + validity_weight * jnp.sum(counts) * validity_penalty(
+                    params_x, centers
+                )
+            return cost
 
         u0 = _box_inverse(jnp.asarray(x0, dt), lo, hi)
 
