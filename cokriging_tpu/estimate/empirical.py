@@ -84,13 +84,17 @@ def _pad_rows(arr, block):
 
 
 @partial(jax.jit, static_argnames=("geodesic", "block"))
-def _pass_min_max(ca, cb, marginal, max_dist, n_rows, n_cols, geodesic, block):
+def _pass_min_max(
+    ca, cb, marginal, max_dist, n_rows, n_cols, geodesic, block, row_offset=0
+):
     """Blocked pass 1: (min nonzero dist, max dist) over filtered pairs.
 
     ``marginal``, ``n_rows``, ``n_cols`` are *runtime* values so one
     compiled program serves every (i, j) pair — the axon remote-compile
     service costs minutes per program, so program-count is a first-order
-    performance concern.
+    performance concern. ``row_offset`` holds the global index of this
+    shard's first row when the row axis is sharded across devices (the
+    triu mask and n_rows bound are global-index conditions).
     """
     nb = cb.shape[0]
     n_blocks = ca.shape[0] // block
@@ -104,7 +108,7 @@ def _pass_min_max(ca, cb, marginal, max_dist, n_rows, n_cols, geodesic, block):
             if geodesic
             else euclidean_matrix(rows, cb)
         )
-        row_ids = k * block + jnp.arange(block)[:, None]
+        row_ids = row_offset + k * block + jnp.arange(block)[:, None]
         valid = (row_ids < n_rows) & (col_ids < n_cols) & (d <= max_dist)
         valid = valid & (~marginal | (row_ids < col_ids))
         dmin = jnp.minimum(
@@ -119,7 +123,7 @@ def _pass_min_max(ca, cb, marginal, max_dist, n_rows, n_cols, geodesic, block):
 @partial(jax.jit, static_argnames=("geodesic", "n_bins", "block"))
 def _pass_bin(
     ca, va, cb, vb, edges, marginal, covariogram, max_dist, n_rows, n_cols,
-    geodesic, n_bins, block
+    geodesic, n_bins, block, row_offset=0
 ):
     """Blocked pass 2: per-bin cloud sums and pair counts.
 
@@ -146,7 +150,7 @@ def _pass_bin(
         cloud = jnp.where(
             covariogram, vals[:, None] * vb[None, :], 0.5 * diff * diff
         )
-        row_ids = k * block + jnp.arange(block)[:, None]
+        row_ids = row_offset + k * block + jnp.arange(block)[:, None]
         valid = (row_ids < n_rows) & (col_ids < n_cols) & (d <= max_dist)
         valid = valid & (~marginal | (row_ids < col_ids))
         idx = jnp.clip(jnp.searchsorted(edges, d, side="left") - 1, 0, n_bins - 1)

@@ -4,4 +4,5 @@ from cokriging_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     sharded_local_predict,
     sharded_wls_grad_step,
+    sharded_variogram_pair,
 )

@@ -100,6 +100,98 @@ def sharded_local_predict(
     return np.asarray(pred)[:n], np.asarray(err)[:n]
 
 
+def sharded_variogram_pair(
+    coords_a,
+    values_a,
+    coords_b,
+    values_b,
+    config,
+    marginal: bool,
+    mesh: Optional[Mesh] = None,
+):
+    """Empirical variogram with the O(n^2) pair space row-sharded across a
+    device mesh: each chip streams its row shard against the (replicated)
+    column side; global min/max and per-bin sums reduce with pmin/pmax/
+    psum over ICI. This is the n-beyond-one-chip path — the single-chip
+    result is reproduced exactly.
+
+    Returns (centers, means, counts) like
+    estimate.empirical.empirical_variogram_pair.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from cokriging_tpu.estimate.empirical import (
+        _BLOCK,
+        _pass_bin,
+        _pass_min_max,
+        variogram_bins,
+    )
+
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    ca = jnp.asarray(coords_a)
+    va = jnp.asarray(values_a)
+    cb = jnp.asarray(coords_b)
+    vb = jnp.asarray(values_b)
+    n_rows, n_cols = int(ca.shape[0]), int(cb.shape[0])
+    va = va - jnp.mean(va)
+    vb = vb - jnp.mean(vb)
+
+    chunk = -(-n_rows // (n_dev * _BLOCK)) * _BLOCK  # rows per device
+    pad = n_dev * chunk - n_rows
+    if pad:
+        ca = jnp.concatenate([ca, jnp.zeros((pad, 2), ca.dtype)])
+        va = jnp.concatenate([va, jnp.zeros((pad,), va.dtype)])
+
+    in_specs = (P(axis), P(), P())
+    geodesic = config.geodesic
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def min_max(ca_sh, cb_r, dummy):
+        offset = jax.lax.axis_index(axis) * chunk
+        dmin, dmax = _pass_min_max(
+            ca_sh, cb_r, marginal, config.max_dist, n_rows, n_cols,
+            geodesic, _BLOCK, row_offset=offset,
+        )
+        return (
+            jax.lax.pmin(dmin, axis)[None],
+            jax.lax.pmax(dmax, axis)[None],
+        )
+
+    dmin, dmax = min_max(ca, cb, vb)
+    dmin, dmax = float(dmin[0]), float(dmax[0])
+    if not np.isfinite(dmin) or not np.isfinite(dmax):
+        raise ValueError("No pairs within max_dist; cannot build variogram bins.")
+    centers, edges = variogram_bins(dmin, dmax, config.n_bins)
+    edges_j = jnp.asarray(edges, ca.dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def bin_pass(ca_sh, va_sh, cb_r, vb_r, edges_r):
+        offset = jax.lax.axis_index(axis) * chunk
+        sums, cnts = _pass_bin(
+            ca_sh, va_sh, cb_r, vb_r, edges_r, marginal,
+            config.covariogram, config.max_dist, n_rows, n_cols,
+            geodesic, config.n_bins, _BLOCK, row_offset=offset,
+        )
+        return jax.lax.psum(sums, axis), jax.lax.psum(cnts, axis)
+
+    sums, counts = bin_pass(ca, va, cb, vb, edges_j)
+    counts = np.asarray(counts)
+    means = np.where(counts > 0, np.asarray(sums) / np.maximum(counts, 1), np.nan)
+    return centers, means, counts
+
+
 @partial(jax.jit, static_argnames=("pairs", "spec"))
 def _batched_wls_value_and_grad(flats, centers, means, counts, pairs, spec):
     """(B, n_params) params x (B, n_pairs, n_bins) estimates -> per-month

@@ -107,3 +107,25 @@ def test_univariate_local_kriging(setup):
     assert (out["pred_err"] >= 0).all()
     cv = lp.cross_validation(0, max_dist=0.5, postprocess=False)
     assert np.isfinite(cv["residual"]).all()
+
+
+def test_sharded_variogram_matches_single_device(rng):
+    from cokriging_tpu.estimate.empirical import (
+        VarioConfig,
+        empirical_variogram_pair,
+    )
+    from cokriging_tpu.parallel import sharded_variogram_pair
+
+    n, m = 700, 650
+    ca = np.column_stack([rng.uniform(25, 50, n), rng.uniform(-120, -70, n)])
+    cb = np.column_stack([rng.uniform(25, 50, m), rng.uniform(-120, -70, m)])
+    va, vb = rng.normal(size=n), rng.normal(size=m)
+    cfg = VarioConfig(max_dist=2000.0, n_bins=12)
+    for marginal, b, w in [(False, cb, vb), (True, ca, va)]:
+        c1, m1, n1 = empirical_variogram_pair(ca, va, b, w, cfg, marginal=marginal)
+        c2, m2, n2 = sharded_variogram_pair(
+            ca, va, b, w, cfg, marginal=marginal, mesh=make_mesh()
+        )
+        np.testing.assert_allclose(c1, c2)
+        np.testing.assert_allclose(n1, n2)
+        np.testing.assert_allclose(m1, m2, rtol=1e-9, equal_nan=True)
