@@ -116,6 +116,102 @@ def _nll_u_value_and_grad(u, lo, hi, dists, z, spec, measurement_var, jitter):
     return v, _clean_grad(g)
 
 
+def make_device_nll_fitter(spec: ParamSpec, maxiter=500, lr=0.1):
+    """Fully on-device maximum-likelihood fitter: Adam + cosine decay on
+    the sigmoid-box-transformed NLL, one `lax.scan` program (one dispatch
+    instead of a host-driven optimizer paying relay latency per eval).
+
+    NOTE: first-order Adam trades optimum tightness for dispatch count on
+    the stiff NLL surface — use `fit_nll` (scipy L-BFGS driver) when
+    per-eval latency is cheap or a tight optimum matters; use this for
+    TPU-resident or heavily batched fits.
+
+    Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll).
+    """
+    import optax
+
+    lo_np, hi_np = spec.bounds()
+    opt = optax.adam(optax.cosine_decay_schedule(lr, maxiter))
+
+    def fit(x0, dists, z, measurement_var, jitter):
+        dt = z.dtype
+        lo = jnp.asarray(lo_np, dt)
+        hi = jnp.asarray(hi_np, dt)
+
+        def objective(u):
+            x = lo + (hi - lo) * jax.nn.sigmoid(u)
+            return neg_log_likelihood(x, dists, z, spec, measurement_var, jitter)
+
+        z0 = jnp.clip((jnp.asarray(x0, dt) - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+        u0 = jnp.log(z0) - jnp.log1p(-z0)
+
+        # Track the best iterate: the non-PD penalty plateau has zero
+        # gradient, so momentum can strand the *last* iterate there even
+        # though earlier steps were fine.
+        def step(carry, _):
+            u, state, best_u, best_v = carry
+            value, grad = jax.value_and_grad(objective)(u)
+            grad = _clean_grad(grad)
+            better = value < best_v
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, value, best_v)
+            updates, state = opt.update(grad, state, u)
+            u = optax.apply_updates(u, updates)
+            return (u, state, best_u, best_v), value
+
+        init_v = objective(u0)
+        (u, _, best_u, best_v), _ = jax.lax.scan(
+            step, (u0, opt.init(u0), u0, init_v), None, length=maxiter
+        )
+        final_v = objective(u)
+        better = final_v < best_v
+        u = jnp.where(better, u, best_u)
+        v = jnp.where(better, final_v, best_v)
+        return lo + (hi - lo) * jax.nn.sigmoid(u), v
+
+    return fit
+
+
+def fit_nll_device(
+    mf,
+    init: Optional[MaternParams] = None,
+    use_measurement_var: bool = False,
+    jitter: float = 1e-8,
+    maxiter: int = 500,
+    main: bool = True,
+) -> Tuple[MaternParams, dict]:
+    """Maximum-likelihood fit entirely on device (see make_device_nll_fitter).
+
+    Prefer this on TPU; `fit_nll` (scipy L-BFGS driver) gives tighter
+    optima on CPU where per-eval latency is negligible.
+    """
+    init = init or MaternParams.default(mf.n_procs)
+    spec = init.spec
+    coords = [f.coords_main if main else f.coords for f in mf.fields]
+    values = [f.values_main if main else f.values for f in mf.fields]
+    dists = joint_distance_blocks(coords, geodesic=mf.geodesic)
+    z = jnp.concatenate(values)
+    mvar = None
+    if use_measurement_var:
+        mvar = jnp.concatenate(
+            [
+                f.measurement_var
+                if f.measurement_var is not None
+                else jnp.zeros(f.size)
+                for f in mf.fields
+            ]
+        )
+    fitter = jax.jit(make_device_nll_fitter(spec, maxiter))
+    x, nll = fitter(init.to_flat(), dists, z, mvar, jitter)
+    params = MaternParams.from_flat(x, spec=spec)
+    return params, {
+        "nll": float(nll),
+        "success": bool(np.isfinite(float(nll))),
+        "n_iter": maxiter,
+        "n_obj_evals": maxiter,
+    }
+
+
 def fit_nll(
     mf,
     init: Optional[MaternParams] = None,

@@ -62,16 +62,18 @@ def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM, zero_tol=ZERO_SNA
 def euclidean_matrix(coords1, coords2, zero_tol=ZERO_SNAP):
     """Euclidean distance matrix (simulation path, src/fields.py:341-342).
 
-    Uses the |x|^2 + |y|^2 - 2<x,y> expansion (MXU-friendly), whose
-    cancellation noise for identical points (~1e-8 after sqrt) the
-    zero-snap removes.
+    Computed by direct coordinate differences (exact zeros for identical
+    points). The |x|^2+|y|^2-2<x,y> matmul expansion is deliberately NOT
+    used: on TPU an f32 matmul rides the MXU's bf16 path, whose rounding
+    (~1e-2 relative) corrupts small distances enough to drop the
+    nugget-at-h==0 off covariance diagonals (non-PD matrices). With 2-d
+    coordinates the expansion saves nothing anyway.
     """
     c1 = jnp.atleast_2d(coords1)
     c2 = jnp.atleast_2d(coords2)
-    sq1 = jnp.sum(c1 * c1, axis=1, keepdims=True)
-    sq2 = jnp.sum(c2 * c2, axis=1, keepdims=True)
-    d2 = sq1 + sq2.T - 2.0 * (c1 @ c2.T)
-    return _snap(jnp.sqrt(jnp.maximum(d2, 0.0)), zero_tol)
+    diff = c1[:, None, :] - c2[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return _snap(jnp.sqrt(d2), zero_tol)
 
 
 def distance_matrix(coords1, coords2, geodesic=True):

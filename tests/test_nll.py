@@ -100,3 +100,26 @@ def test_nll_fit_recovers_simulation_truth(sim_mf):
         )
     )
     assert info["nll"] < init_nll
+
+
+def test_device_nll_fitter_improves_on_init(sim_mf):
+    """On-device Adam NLL fit: runs as one program and improves the NLL
+    (tight-optimum quality is the scipy driver's job; see docstring)."""
+    from cokriging_tpu.estimate.nll import fit_nll_device
+
+    init = _sim_scaled_init()
+    init_nll = float(
+        neg_log_likelihood(
+            init.to_flat(),
+            joint_distance_blocks(
+                [f.coords_main for f in sim_mf.fields], geodesic=False
+            ),
+            jnp.concatenate([f.values_main for f in sim_mf.fields]),
+            init.spec,
+            None,
+            1e-8,
+        )
+    )
+    params, info = fit_nll_device(sim_mf, init=init, maxiter=120)
+    assert info["success"]
+    assert info["nll"] < init_nll
