@@ -104,7 +104,7 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
     """One full fit+predict; returns (params, pred, err)."""
     import jax.numpy as jnp
 
-    from cokriging_tpu.cov import MaternParams, MultivariateMatern
+    from cokriging_tpu.cov import MultivariateMatern
     from cokriging_tpu.estimate.empirical import (
         VarioConfig,
         empirical_variogram_pair,

@@ -13,7 +13,6 @@ Inputs may be h5py/netCDF4-style mappings, xarray Datasets (if installed),
 or plain dict-of-arrays — anything indexable by variable name.
 """
 
-from datetime import datetime
 from typing import Sequence
 
 import numpy as np

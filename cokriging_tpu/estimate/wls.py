@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cokriging_tpu.cov.params import MaternParams, ParamSpec
-from cokriging_tpu.cov.matern import semivariance, cross_semivariance
 
 
 @dataclass

@@ -18,7 +18,7 @@ predictions can be mapped back to data scale
 (src/point_prediction.py:251-301).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cokriging_tpu.cov.params import MaternParams
 from cokriging_tpu.estimate.wls import composite_wls_cost
 
 

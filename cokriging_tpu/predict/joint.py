@@ -35,7 +35,6 @@ from cokriging_tpu.cov.matern import (
     covariance,
     cross_covariance,
 )
-from cokriging_tpu.cov.params import MaternParams
 from cokriging_tpu.estimate.nll import joint_distance_blocks
 from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
 from cokriging_tpu.predict.postprocess import postprocess_predictions

@@ -32,12 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from cokriging_tpu.cov.matern import (
-    block_covariance,
-    covariance,
-    cross_covariance,
-)
-from cokriging_tpu.estimate.nll import joint_distance_blocks
+from cokriging_tpu.cov.matern import covariance, cross_covariance
 from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
 from cokriging_tpu.predict.postprocess import (
     postprocess_predictions,
