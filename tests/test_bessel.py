@@ -69,3 +69,16 @@ def test_kv_jit_and_vmap():
     out = jax.vmap(f)(nus, xs)
     ref = sps.kv(np.asarray(nus), np.asarray(xs))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12)
+
+
+def test_kv_exact_grad_matches_scipy_fd():
+    from cokriging_tpu.kernels.bessel import kv_exact_grad
+
+    for nu, x in [(0.7, 0.3), (1.3, 2.7), (2.5, 1.1), (1.5, 0.01)]:
+        g_nu = float(jax.grad(kv_exact_grad, 0)(nu, x))
+        g_x = float(jax.grad(kv_exact_grad, 1)(nu, x))
+        h = 1e-7
+        fd_nu = (sps.kv(nu + h, x) - sps.kv(nu - h, x)) / (2 * h)
+        fd_x = (sps.kv(nu, x + h) - sps.kv(nu, x - h)) / (2 * h)
+        np.testing.assert_allclose(g_nu, fd_nu, rtol=1e-6)
+        np.testing.assert_allclose(g_x, fd_x, rtol=1e-6)
