@@ -63,8 +63,15 @@ def neg_log_likelihood(
             src/data_utils.py:28, 68).
         jitter: optional diagonal regularization.
     """
-    params = MaternParams.from_flat(flat, spec=spec)
-    cov = block_covariance(params, dists)
+    # Rematerialize the covariance assembly: reverse-mode otherwise saves
+    # the K_nu tangent intermediates for every matrix element (~100 n^2
+    # buffers — 186 GB at n = 20k), while recomputing the assembly in the
+    # backward pass costs one extra forward.
+    def _assemble(f):
+        params = MaternParams.from_flat(f, spec=spec)
+        return block_covariance(params, dists)
+
+    cov = jax.checkpoint(_assemble)(flat)
     n = cov.shape[0]
     diag_extra = jnp.full(n, jitter, cov.dtype)
     if measurement_var is not None:

@@ -69,8 +69,12 @@ def _gam12(mu):
     return gam1, gam2, inv_gp, inv_gm
 
 
-def _temme_series(mu, x):
-    """K_mu(x), K_{mu+1}(x) for 0 < x <= 2, |mu| <= 1/2 (Temme's series)."""
+def _temme_series(mu, x, gam_consts=None):
+    """K_mu(x), K_{mu+1}(x) for 0 < x <= 2, |mu| <= 1/2 (Temme's series).
+
+    ``gam_consts`` = precomputed (gam1, gam2, inv_gp, inv_gm) scalars —
+    used by the Pallas kernel, whose TPU lowering has no lgamma primitive
+    (they depend only on mu, so the host computes them once per call)."""
     x2 = 0.5 * x
     mu2 = mu * mu
     d = -jnp.log(x2)
@@ -84,16 +88,23 @@ def _temme_series(mu, x):
         1.0 + pimu * pimu / 6.0,
         pimu / jnp.sin(jnp.where(small_p, 1.0, pimu)),
     )
+    # sinh/cosh via exp (Pallas TPU lowering has no sinh/cosh primitive);
+    # |e| <= ~0.5 * |ln(x/2)| keeps exp(e) far from overflow
+    e_exp = jnp.exp(e)
+    sinh_e = 0.5 * (e_exp - 1.0 / e_exp)
+    cosh_e = 0.5 * (e_exp + 1.0 / e_exp)
     small_e = jnp.abs(e) < 1e-4
     fact2 = jnp.where(
         small_e,
         1.0 + e * e / 6.0,
-        jnp.sinh(jnp.where(small_e, 1.0, e)) / jnp.where(small_e, 1.0, e),
+        sinh_e / jnp.where(small_e, 1.0, e),
     )
 
-    gam1, gam2, inv_gp, inv_gm = _gam12(mu)
-    ff = fact * (gam1 * jnp.cosh(e) + gam2 * fact2 * d)
-    e_exp = jnp.exp(e)
+    if gam_consts is None:
+        gam1, gam2, inv_gp, inv_gm = _gam12(mu)
+    else:
+        gam1, gam2, inv_gp, inv_gm = gam_consts
+    ff = fact * (gam1 * cosh_e + gam2 * fact2 * d)
     p = 0.5 * e_exp / inv_gp
     q = 0.5 / (e_exp * inv_gm)
     c = jnp.ones_like(x)
@@ -113,8 +124,10 @@ def _temme_series(mu, x):
         return ff, p, q, c, ksum, ksum1
 
     n_iters = _SERIES_ITERS[jnp.dtype(x.dtype)]
+    # int32 bounds: under x64 the default i64 loop index cannot be lowered
+    # by Mosaic inside Pallas kernels
     ff, p, q, c, ksum, ksum1 = jax.lax.fori_loop(
-        1, n_iters + 1, body, (ff, p, q, c, ksum, ksum1)
+        jnp.int32(1), jnp.int32(n_iters + 1), body, (ff, p, q, c, ksum, ksum1)
     )
     k_mu = ksum
     k_mu1 = ksum1 * (2.0 / x)
@@ -122,9 +135,13 @@ def _temme_series(mu, x):
 
 
 def _steed_cf2(mu, x):
-    """K_mu(x), K_{mu+1}(x) for x >= 2, |mu| <= 1/2 (Steed's CF2)."""
+    """K_mu(x), K_{mu+1}(x) for x >= 2, |mu| <= 1/2 (Steed's CF2).
+
+    ``mu`` may be a scalar (Pallas tile path) or broadcast to x's shape;
+    the `+ 0.0 * x` anchors the mu-derived loop carries to x's shape AND
+    layout (Mosaic rejects mixing replicated and tiled vector layouts)."""
     mu2 = mu * mu
-    a1 = 0.25 - mu2
+    a1 = 0.25 - mu2 + 0.0 * x
     b = 2.0 * (1.0 + x)
     d = 1.0 / b
     h = d
@@ -135,7 +152,9 @@ def _steed_cf2(mu, x):
     c = a1
     a = -a1
     s = 1.0 + q * delh
-    done = jnp.zeros_like(x, dtype=bool)
+    # float 0/1 convergence mask: Mosaic cannot legalize scf.for loops
+    # with vector-of-bool carries
+    done = jnp.zeros_like(x)
     eps = jnp.finfo(x.dtype).eps
 
     def body(i, carry):
@@ -158,14 +177,16 @@ def _steed_cf2(mu, x):
         h_n = h + delh_n
         dels = q_n * delh_n
         s_n = s + dels
-        done_n = done | (jnp.abs(dels / s_n) < eps)
+        done_n = jnp.maximum(
+            done, (jnp.abs(dels / s_n) < eps).astype(x.dtype)
+        )
 
         scale = jnp.maximum(jnp.abs(qnew), 1e-30)
         q1_n = q2 / scale
         q2_n = qnew / scale
         c_n = c_n * scale
 
-        keep = lambda new, old: jnp.where(done, old, new)
+        keep = lambda new, old: jnp.where(done > 0.0, old, new)
         return (
             keep(a_n, a), keep(b_n, b), keep(c_n, c), keep(d_n, d),
             keep(h_n, h), keep(delh_n, delh), keep(q_n, q),
@@ -174,7 +195,8 @@ def _steed_cf2(mu, x):
 
     n_iters = _CF2_ITERS[jnp.dtype(x.dtype)]
     a, b, c, d, h, delh, q, q1, q2, s, done = jax.lax.fori_loop(
-        2, n_iters + 2, body, (a, b, c, d, h, delh, q, q1, q2, s, done)
+        jnp.int32(2), jnp.int32(n_iters + 2), body,
+        (a, b, c, d, h, delh, q, q1, q2, s, done)
     )
     h = a1 * h
     k_mu = jnp.sqrt(_PI / (2.0 * x)) * jnp.exp(-x) / s

@@ -41,21 +41,24 @@ def main():
     rng = np.random.default_rng(0)
 
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}")
-    for n_per in [2500, 10000]:
+    for n_per in [2500, 5000]:
         coords = [
             jnp.asarray(rng.uniform(0, 1, size=(n_per, 2)), dtype)
             for _ in range(2)
         ]
         z = jnp.asarray(rng.normal(size=2 * n_per), dtype)
         dists = joint_distance_blocks(coords, geodesic=False)
-        # warm
+        # warm (force host materialization — the axon backend's
+        # block_until_ready can return before remote execution finishes)
         v, g = _nll_value_and_grad(flat, dists, z, spec, None, 1e-6)
-        jax.block_until_ready((v, g))
+        float(v), np.asarray(g)
         reps = 5
         t0 = time.perf_counter()
-        for _ in range(reps):
-            v, g = _nll_value_and_grad(flat, dists, z, spec, None, 1e-6)
-            jax.block_until_ready((v, g))
+        for k in range(reps):
+            # perturb an argument so no layer can reuse the previous result
+            fk = flat.at[0].add(1e-6 * (k + 1))
+            v, g = _nll_value_and_grad(fk, dists, z, spec, None, 1e-6)
+            float(v), np.asarray(g)
         dt = (time.perf_counter() - t0) / reps
         print(
             f"n = 2x{n_per:>6}: {dt * 1e3:8.1f} ms/eval+grad "

@@ -42,3 +42,22 @@ def test_pallas_matches_xla_path(rng, marginal, covariogram):
     np.testing.assert_allclose(cnts, counts)
     got = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
     np.testing.assert_allclose(got, means, rtol=1e-8, equal_nan=True)
+
+
+def test_pallas_matern_matches_jnp(rng, monkeypatch):
+    """Fused VMEM Matern kernel vs the jnp path (interpret mode, tiny
+    tiles for speed; measured 4.5x faster than XLA at 5120^2 on a real
+    v5e chip)."""
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov.matern import matern_correlation
+
+    monkeypatch.setattr(P, "MM", 8)
+    monkeypatch.setattr(P, "MN", 128)
+    h = np.abs(rng.normal(size=(13, 200))).astype(np.float32) * 800
+    h[0, 0] = 0.0
+    for nu, ls in [(1.5, 500.0), (0.7, 200.0), (3.2, 800.0)]:
+        ref = np.asarray(matern_correlation(nu, ls, jnp.asarray(h)))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(P.matern_correlation_pallas(nu, ls, jnp.asarray(h)))
+        np.testing.assert_allclose(got, ref, atol=5e-6)
