@@ -106,14 +106,53 @@ def variogram_value(params: MaternParams, i: int, j: int, h, covariogram=False):
     return cross_semivariance(params, i, j, h)
 
 
-def joint_covariance_from_coords(params: MaternParams, coords_tuple, geodesic):
+def joint_covariance_from_coords(
+    params: MaternParams, coords_tuple, geodesic, use_pallas: bool = False
+):
     """One jit'd program: cross-distance blocks + joint block covariance.
 
     Eager assembly dispatches hundreds of small ops through the device
     relay (seconds of pure latency on remote TPU); this fuses the whole
     build into a single call.
+
+    ``use_pallas=True`` evaluates the Matern correlations through the
+    fused VMEM kernel (kernels.pallas_ops) — forward-only, f32, TPU;
+    ~4.5x faster than the XLA path for large matrices.
     """
+    if use_pallas:
+        from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+        dists = joint_distance_blocks(list(coords_tuple), geodesic=geodesic)
+        return block_covariance_pallas(params, dists)
     return _joint_cov_impl(params, tuple(coords_tuple), bool(geodesic))
+
+
+def block_covariance_pallas(params: MaternParams, dists):
+    """Joint block covariance with Matern correlations evaluated by the
+    fused Pallas kernel (forward-only; for prediction/simulation paths on
+    TPU at f32). Same conventions as ``block_covariance``."""
+    from cokriging_tpu.kernels.pallas_ops import matern_correlation_pallas
+
+    p = params.n_procs
+    blocks = {}
+    for i in range(p):
+        for j in range(p):
+            if i <= j:
+                h = dists[i][j]
+                m = matern_correlation_pallas(
+                    params.nu[i, j], params.len_scale[i, j], h
+                )
+                if i == j:
+                    blocks[(i, j)] = params.sigma[i] ** 2 * m + jnp.where(
+                        jnp.asarray(h) == 0.0, params.nugget[i], 0.0
+                    )
+                else:
+                    blocks[(i, j)] = (
+                        params.rho[i, j] * params.sigma[i] * params.sigma[j] * m
+                    )
+            else:
+                blocks[(i, j)] = blocks[(j, i)].T
+    return jnp.block([[blocks[(i, j)] for j in range(p)] for i in range(p)])
 
 
 @partial(jax.jit, static_argnames=("geodesic",))

@@ -61,3 +61,27 @@ def test_pallas_matern_matches_jnp(rng, monkeypatch):
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(P.matern_correlation_pallas(nu, ls, jnp.asarray(h)))
         np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_block_covariance_pallas_matches_xla(rng, monkeypatch):
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams
+    from cokriging_tpu.cov.matern import block_covariance, block_covariance_pallas
+    from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+    monkeypatch.setattr(P, "MM", 8)
+    monkeypatch.setattr(P, "MN", 128)
+    flat = np.array([1.2, 0.8, 1.5, 1.1, 2.0, 0.3, 0.25, 0.35, 0.04, 0.02, -0.5])
+    params = MaternParams.from_flat(jnp.asarray(flat, jnp.float32))
+    coords = [
+        jnp.asarray(rng.uniform(0, 1, size=(30, 2)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 1, size=(25, 2)), jnp.float32),
+    ]
+    dists = joint_distance_blocks(coords, geodesic=False)
+    ref = np.asarray(block_covariance(params, dists))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(block_covariance_pallas(params, dists))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # symmetric with nugget on the diagonal
+    np.testing.assert_allclose(got, got.T, atol=1e-6)
