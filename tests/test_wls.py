@@ -80,3 +80,24 @@ def test_jax_fit_close_to_scipy():
     p_scipy, r_scipy = fit_wls(est, method="scipy")
     p_jax, r_jax = fit_wls(est, method="jax")
     assert r_jax.cost < max(1e-4, 10 * r_scipy.cost + 1e-6)
+
+
+def test_moment_init_near_truth():
+    """Method-of-moments initializer lands near the generating parameters
+    and gives L-BFGS-B a basin with good parameter recovery."""
+    from cokriging_tpu.estimate.wls import moment_init
+
+    est = _synthetic_estimate()
+    mi = np.asarray(moment_init(est).to_flat())
+    # sigmas within 5%, rho within 0.15, marginal length scales within 40%
+    np.testing.assert_allclose(mi[0:2], TRUE_FLAT[0:2], rtol=0.05)
+    assert abs(mi[10] - TRUE_FLAT[10]) < 0.15
+    np.testing.assert_allclose(mi[5], TRUE_FLAT[5], rtol=0.4)
+    np.testing.assert_allclose(mi[7], TRUE_FLAT[7], rtol=0.4)
+
+    params, result = fit_wls(est, init=moment_init(est), method="scipy")
+    got = np.asarray(params.to_flat())
+    # nuggets and rho recover tightly from this basin
+    np.testing.assert_allclose(got[8:10], TRUE_FLAT[8:10], atol=0.01)
+    assert abs(got[10] - TRUE_FLAT[10]) < 0.1
+    np.testing.assert_allclose(got[5:8], TRUE_FLAT[5:8], rtol=0.3)
