@@ -70,10 +70,12 @@ def main(argv=None):
             from cokriging_tpu.estimate import VarioConfig, empirical_variograms
             from cokriging_tpu.estimate.wls import fit_wls
 
+            from cokriging_tpu.estimate.wls import moment_init
+
             est = empirical_variograms(
                 mf, VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins)
             )
-            params, result = fit_wls(est)
+            params, result = fit_wls(est, init=moment_init(est))
             save_params(args.out, params, metadata={"timestamp": args.timestamp})
             print(params.to_dataframe().to_string(index=False))
             print(f"cost {result.cost:.6g} -> {args.out}")

@@ -106,8 +106,10 @@ def main():
     )
     plot_fields(mf).savefig(OUT / "demo_fields.png", dpi=120)
 
+    from cokriging_tpu.estimate.wls import moment_init
+
     est = empirical_variograms(mf, VarioConfig(max_dist=1.5e3, n_bins=15))
-    params, result = fit_wls(est)
+    params, result = fit_wls(est, init=moment_init(est))
     print("fitted params:")
     print(params.to_dataframe().to_string(index=False))
     plot_variograms(result, names=["xco2", "sif"]).savefig(
