@@ -30,9 +30,24 @@ from cokriging_tpu.estimate.wls import composite_wls_cost
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-d device mesh over the first n available devices."""
+    """1-d device mesh over the first n available devices.
+
+    Raises when the backend cannot supply ``n_devices`` devices — a silent
+    truncation here would shard onto fewer chips than the caller laid the
+    batch out for (and once bit the multichip dryrun gate). Callers that
+    need a virtual mesh must configure it before first JAX use
+    (``XLA_FLAGS=--xla_force_host_platform_device_count=N`` + platform cpu).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but backend "
+                f"'{jax.default_backend()}' has only {len(devs)}. For a "
+                "virtual mesh, set XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} and jax_platforms=cpu before "
+                "any JAX use."
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
