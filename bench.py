@@ -136,10 +136,16 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
         bin_counts=np.stack([s[2] for s in stacks]).astype(dtype),
     )
 
-    # --- 2. composite WLS fit (fully on-device L-BFGS: one dispatch, not
-    #        one round-trip through the TPU relay per objective eval) ---
+    # --- 2. composite WLS fit (fully on-device: one dispatch, not one
+    #        round-trip through the TPU relay per objective eval), started
+    #        from the method-of-moments initializer (same as the CLI) ---
     _log("WLS fit")
-    params, result = fit_wls(est, method="adam", maxiter=600)
+    from cokriging_tpu.estimate.wls import moment_init
+
+    params, result = fit_wls(
+        est, init=moment_init(est), method="adam", maxiter=600,
+        theoretical=False,
+    )
 
     # --- 3. local cokriging on the 0.5-degree land grid, data on the
     #        main 4x5 grid (reference workflow: coords_main for prediction,

@@ -151,6 +151,25 @@ def _cost_and_grad(flat, centers, means, counts, pairs, spec):
     )
 
 
+# Memoized jitted fitters. make_device_*_fitter returns a fresh closure per
+# call, and jax.jit caches traces by function identity — so without this
+# cache every fit_wls call re-traces the whole optimizer scan through the
+# K_nu graph (~6.5 s on TPU) even when the compiled executable is already
+# in XLA's cache. One entry serves every fit with the same configuration.
+_FITTER_CACHE = {}
+
+
+def _cached_fitter(kind, pairs, spec, maxiter, **kw):
+    key = (kind, pairs, spec, maxiter, tuple(sorted(kw.items())))
+    if key not in _FITTER_CACHE:
+        maker = {
+            "adam": make_device_adam_fitter,
+            "lbfgs": make_device_wls_fitter,
+        }[kind]
+        _FITTER_CACHE[key] = jax.jit(maker(pairs, spec, maxiter, **kw))
+    return _FITTER_CACHE[key]
+
+
 def moment_init(estimate, spec: Optional[ParamSpec] = None) -> MaternParams:
     """Method-of-moments initial values from the empirical variograms:
     sigma^2 + tau^2 from the far-field sill, tau^2 from the first bin's
@@ -217,12 +236,15 @@ def fit_wls(
     method: str = "scipy",
     maxiter: int = 500,
     validity_weight: float = 0.0,
+    theoretical: bool = True,
 ) -> Tuple[MaternParams, FitResult]:
     """Fit Matern parameters to an EmpiricalVariogram by composite WLS.
 
     Mirrors MultivariateMatern.fit (src/model.py:285-317): L-BFGS-B from
     the default (or supplied) initial values under the spec's box bounds,
-    warning on non-convergence.
+    warning on non-convergence. ``theoretical=False`` skips building the
+    100-point theoretical-curve frame (a host-side convenience the hot
+    path doesn't need).
     """
     spec = (init or MaternParams.default(estimate.config.n_procs)).spec
     if spec.n_procs != estimate.config.n_procs:
@@ -263,10 +285,8 @@ def fit_wls(
         params = MaternParams.from_flat(x, spec=spec)
         success = bool(np.isfinite(cost))
     elif method == "adam":
-        fitter = jax.jit(
-            make_device_adam_fitter(
-                pairs, spec, maxiter, validity_weight=validity_weight
-            )
+        fitter = _cached_fitter(
+            "adam", pairs, spec, maxiter, validity_weight=validity_weight
         )
         x, cost = fitter(jnp.asarray(x0), centers, means, counts)
         params = MaternParams.from_flat(x, spec=spec)
@@ -282,7 +302,8 @@ def fit_wls(
         n_iter=n_iter,
         estimate=estimate,
     )
-    result.df_theoretical = _theoretical_df(params, estimate)
+    if theoretical:
+        result.df_theoretical = _theoretical_df(params, estimate)
     return params, result
 
 
@@ -406,7 +427,7 @@ def make_device_wls_fitter(pairs, spec, maxiter=300):
 
 
 def _fit_lbfgs_box(x0, centers, means, counts, pairs, spec, maxiter):
-    fitter = jax.jit(make_device_wls_fitter(pairs, spec, maxiter))
+    fitter = _cached_fitter("lbfgs", pairs, spec, maxiter)
     x, cost = fitter(jnp.asarray(x0), centers, means, counts)
     return x, float(cost), maxiter
 
@@ -447,8 +468,12 @@ def fit_wls_batch(
     B = len(estimates)
     x0 = jnp.tile(init.to_flat()[None], (B, 1))
 
-    fitter = make_device_wls_fitter(pairs, spec, maxiter)
-    batched = jax.jit(jax.vmap(fitter))
+    batch_key = ("lbfgs_batch", pairs, spec, maxiter)
+    if batch_key not in _FITTER_CACHE:
+        _FITTER_CACHE[batch_key] = jax.jit(
+            jax.vmap(make_device_wls_fitter(pairs, spec, maxiter))
+        )
+    batched = _FITTER_CACHE[batch_key]
 
     args = [x0, jnp.asarray(centers), jnp.asarray(means), jnp.asarray(counts)]
     if mesh is not None:

@@ -79,25 +79,30 @@ def sharded_local_predict(
     pcoords: np.ndarray,
     max_dist: float = 1e3,
     mesh: Optional[Mesh] = None,
+    cv: bool = False,
 ):
     """Run LocalPredictor's batched kernel with the location axis sharded
-    over the mesh. Returns (pred, pred_err) ndarrays in input order."""
+    over the mesh. ``cv=True`` runs the LOOCV variant (self-datum withheld
+    by the d > 0 rule — pass the data coords as ``pcoords``; reference
+    src/point_prediction.py:303-346). Returns (pred, pred_err) ndarrays in
+    input order."""
     from cokriging_tpu.predict.local import _local_predict_batch
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     pc, n = _pad_to(np.asarray(pcoords, float), n_dev)
     pc_sharded = shard_batch(mesh, jnp.asarray(pc))
-    params, coords, values, jc = replicate(
+    params, coords, values, jc, n_valid = replicate(
         mesh,
         (
             predictor.mod.params,
             predictor._coords,
             predictor._values,
             predictor.joint_cov,
+            tuple(jnp.asarray(v, jnp.int32) for v in predictor._n_valid),
         ),
     )
-    k_each = predictor._neighborhood_widths(pc, max_dist, False, i)
+    k_each = predictor._neighborhood_widths(pc, max_dist, cv, i)
     pred, err, _ = _local_predict_batch(
         params,
         coords,
@@ -109,7 +114,8 @@ def sharded_local_predict(
         predictor.mf.geodesic,
         predictor._sizes,
         k_each,
-        False,
+        cv,
+        n_valid,
     )
     return np.asarray(pred)[:n], np.asarray(err)[:n]
 

@@ -48,6 +48,24 @@ def _round_up(n, m=8):
     return int(-(-n // m) * m)
 
 
+def _bucket_pow2(n, floor=8):
+    """Round a width up to the next bucket in {2^k, 1.5 * 2^k} (>= floor).
+
+    ``k_each`` and ``sizes`` are static jit arguments, so every distinct
+    value compiles a fresh program — minutes each on the remote TPU compile
+    service. Coarse buckets make one compile serve a whole month sweep
+    whose true max-neighborhood sizes jitter with the data. The 1.5 * 2^k
+    intermediates cap the padding waste at 33% (pure powers of two cost up
+    to 2x the Cholesky FLOPs right above a boundary).
+    """
+    m = floor
+    while m < n:
+        if m + m // 2 >= n:
+            return m + m // 2
+        m *= 2
+    return m
+
+
 @partial(jax.jit, static_argnames=("i", "geodesic", "sizes", "k_each", "cv"))
 def _local_predict_batch(
     params,
@@ -61,21 +79,28 @@ def _local_predict_batch(
     sizes,
     k_each,
     cv,
+    n_valid=None,
 ):
     """Vmapped local prediction at all pcoords.
 
-    k_each[j] is the static per-process neighborhood width. Returns
+    k_each[j] is the static per-process neighborhood width. ``sizes`` are
+    the (possibly padded) static array lengths; ``n_valid`` optionally
+    carries the *runtime* number of real data lanes per process, so months
+    with different observation counts share one compiled program (padded
+    lanes can never enter a neighborhood). Returns
     (pred, pred_err, n_neighbors).
     """
     p = len(coords_tuple)
     offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
     c0 = covariance(params, i, jnp.zeros(1), use_nugget=True)[0]
+    if n_valid is None:
+        n_valid = tuple(jnp.asarray(s) for s in sizes)
 
     def one_location(s0):
         idx_parts, dist_parts, mask_parts = [], [], []
         for j in range(p):
             d = _dist(s0[None, :], coords_tuple[j], geodesic)[0]
-            within = d <= max_dist
+            within = (d <= max_dist) & (jnp.arange(d.shape[0]) < n_valid[j])
             if cv and j == i:
                 within = within & (d > 0.0)
             # K nearest candidates; lanes outside the radius are masked out,
@@ -152,24 +177,45 @@ class LocalPredictor:
         # program (reference _cov_blocks, src/point_prediction.py:98-113)
         from cokriging_tpu.cov.matern import joint_covariance_from_coords
 
-        coords = [f.coords_main for f in mf.fields]
+        # Pad each process's data to a power-of-two profile: the padded
+        # length is the static jit shape, the true count is a runtime
+        # argument, so successive months (whose observation counts jitter)
+        # reuse one compiled program. Padded lanes duplicate the first
+        # coordinate (finite covariances) and are excluded from every
+        # neighborhood by the n_valid mask.
+        coords, values, n_valid = [], [], []
+        for f in mf.fields:
+            c = np.asarray(f.coords_main)
+            v = np.asarray(f.values_main)
+            n = int(c.shape[0])
+            m = _bucket_pow2(n, floor=64)
+            if m > n:
+                c = np.concatenate([c, np.repeat(c[:1], m - n, axis=0)])
+                v = np.concatenate([v, np.zeros(m - n, v.dtype)])
+            coords.append(jnp.asarray(c))
+            values.append(jnp.asarray(v))
+            n_valid.append(n)
         self.joint_cov = joint_covariance_from_coords(
             mod.params, coords, mf.geodesic
         )
-        self._coords = tuple(jnp.asarray(c) for c in coords)
-        self._values = tuple(jnp.asarray(f.values_main) for f in mf.fields)
+        self._coords = tuple(coords)
+        self._values = tuple(values)
         self._sizes = tuple(int(v.shape[0]) for v in self._values)
+        self._n_valid = tuple(n_valid)
 
     def _neighborhood_widths(self, pcoords, max_dist, cv, i):
-        """Static per-process K = max neighborhood size over all locations."""
+        """Static per-process K: max neighborhood size over all locations,
+        bucketed to a power of two so jit programs are reused across months
+        (masked lanes make any K >= the true width exact)."""
         ks = []
         for j in range(self.n_procs):
             d = np.asarray(_dist(pcoords, self._coords[j], self.mf.geodesic))
             within = d <= max_dist
+            within &= np.arange(d.shape[1]) < self._n_valid[j]
             if cv and j == i:
                 within &= d > 0
             kmax = int(within.sum(axis=1).max())
-            ks.append(min(_round_up(max(kmax, 1)), self._sizes[j]))
+            ks.append(min(_bucket_pow2(max(kmax, 1)), self._sizes[j]))
         return tuple(ks)
 
     def __call__(
@@ -197,6 +243,7 @@ class LocalPredictor:
             self._sizes,
             k_each,
             _cv,
+            tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid),
         )
         pred, err = np.asarray(pred), np.asarray(err)
         if np.isnan(pred).any():

@@ -42,6 +42,18 @@ def test_sharded_local_predict_matches_single_device(setup):
     np.testing.assert_allclose(err, single["pred_err"].values, rtol=1e-10)
 
 
+def test_sharded_local_cv_matches_single_device(setup):
+    """Mesh-parallel LOOCV (cv=True) reproduces the single-device path."""
+    mod, grid, mf = setup
+    lp = LocalPredictor(mod, mf)
+    cv = lp.cross_validation(0, max_dist=0.6, postprocess=False)
+    pred, err = sharded_local_predict(
+        lp, 0, np.asarray(mf.fields[0].coords_main), max_dist=0.6, cv=True
+    )
+    np.testing.assert_allclose(pred, cv["pred"].values, rtol=1e-10)
+    np.testing.assert_allclose(err, cv["pred_err"].values, rtol=1e-10)
+
+
 def test_sharded_wls_step_reduces_cost(setup):
     mod, grid, mf = setup
     import warnings
