@@ -2,4 +2,5 @@ from cokriging_tpu.fields.field import (  # noqa: F401
     Field,
     MultiField,
     TrendStats,
+    apply_timedelta,
 )

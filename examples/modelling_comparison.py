@@ -1,0 +1,272 @@
+"""Kriging-vs-cokriging comparison — the reference's flagship scientific
+workflow (research/modelling_comparison.ipynb cells 14-35; error-ratio map
+src/plot.py:474-521; LOOCV MSPE/MAPE src/plot.py:524-538):
+
+    1. univariate SIF model: fit a Matern to SIF residual semivariograms
+       and krige SIF onto the 0.5-degree CONUS land grid;
+    2. bivariate XCO2+SIF model: fit the full bivariate Matern
+       (timedeltas [0, -1] — SIF lagged one month behind XCO2) and
+       cokrige SIF onto the same grid;
+    3. compare: error-ratio map (cokriging variance / kriging variance)
+       and LOOCV MSPE/MAPE for both models.
+
+The real OCO-2/MODIS archives are not present in this container, so the
+script synthesizes data shaped exactly like the augmented-CONUS pipeline:
+monthly long-format frames on the 4x5-degree main grid whose residual
+structure IS a bivariate Matern draw (known rho), with linear temporal
+trends, an EVI covariate surface for SIF, a lon/lat trend for XCO2, and
+sparser SIF coverage (the regime where cokriging pays — reference
+augmentation rationale, src/data_utils.py:261-301). Pass staged parquet
+paths to run on real artifacts instead.
+"""
+
+import argparse
+import pathlib
+import sys
+import warnings
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import pandas as pd
+
+warnings.filterwarnings("ignore")
+
+OUT = pathlib.Path(__file__).parent / "out"
+
+TRUE_FLAT = [1.0, 0.8, 1.5, 1.5, 1.5, 700.0, 700.0, 700.0, 0.02, 0.02, -0.6]
+
+
+def _evi_surface(lat, lon):
+    """Deterministic stand-in for the 0.5-degree MODIS EVI covariate."""
+    return (
+        0.35
+        + 0.15 * np.cos(np.deg2rad(lat) * 4.0)
+        + 0.08 * np.sin(np.deg2rad(lon) * 3.0)
+    )
+
+
+def synthesize_conus_months(seed=0, months=6, sif_coverage=0.55):
+    """Monthly XCO2 + SIF frames on the 4x5-degree CONUS main grid whose
+    residuals are a joint bivariate-Matern draw with rho = -0.6. SIF at
+    month k-1 correlates with XCO2 at month k (the timedeltas=[0, -1]
+    mechanism, src/fields.py:135-176). Returns (df_xco2, df_sif)."""
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov.matern import joint_covariance_from_coords
+    from cokriging_tpu.cov.params import MaternParams
+    from cokriging_tpu.data.grids import main_coords_array
+
+    rng = np.random.default_rng(seed)
+    coords = main_coords_array()
+    lat, lon = coords[:, 0], coords[:, 1]
+    n = len(coords)
+    truth = MaternParams.from_flat(np.array(TRUE_FLAT))
+    jc = np.asarray(
+        joint_covariance_from_coords(truth, [jnp.asarray(coords)] * 2, True)
+    )
+    chol = np.linalg.cholesky(jc + 1e-9 * np.eye(2 * n))
+
+    times = pd.date_range("2019-01-01", periods=months + 1, freq="MS")
+    evi = _evi_surface(lat, lon)
+    rows_x, rows_s = [], []
+    for k in range(months + 1):
+        z = chol @ rng.normal(size=2 * n)
+        z0, z1 = z[:n], z[n:]
+        # XCO2 at month k: temporal trend + lon/lat surface + GP residual
+        xco2 = 400.0 + 0.12 * k + 0.02 * lat - 0.01 * lon + z0
+        xco2 += rng.normal(scale=0.05, size=n)
+        rows_x.append(
+            pd.DataFrame(
+                {"time": times[k], "lat": lat, "lon": lon, "xco2": xco2,
+                 "xco2_var": 0.01}
+            )
+        )
+        # SIF at month k-1 carries the Z1 member of month k's joint draw
+        if k >= 1:
+            sif = 0.6 + 0.01 * (k - 1) + 1.2 * evi + 0.5 * z1
+            sif += rng.normal(scale=0.04, size=n)
+            keep = rng.random(n) < sif_coverage
+            sif = np.where(keep, sif, np.nan)
+            rows_s.append(
+                pd.DataFrame(
+                    {"time": times[k - 1], "lat": lat, "lon": lon,
+                     "sif": sif, "sif_var": 0.01, "evi": evi}
+                )
+            )
+    return pd.concat(rows_x, ignore_index=True), pd.concat(
+        rows_s, ignore_index=True
+    )
+
+
+def run_comparison(
+    seed=0,
+    months=6,
+    timestamp="2019-05-01",
+    sif_coverage=0.55,
+    max_dist=1.0e3,
+    pred_stride=1,
+    maxiter=400,
+    df_xco2=None,
+    df_sif=None,
+):
+    """Fit univariate-SIF and bivariate-XCO2+SIF models on the same month
+    and predict the same 0.5-degree grid with both. Returns a dict with
+    prediction frames, LOOCV frames, the merged error-ratio frame, and the
+    fitted parameter sets."""
+    from cokriging_tpu.cov import MultivariateMatern
+    from cokriging_tpu.data.grids import main_coords_array, prediction_coords
+    from cokriging_tpu.estimate import VarioConfig, empirical_variograms
+    from cokriging_tpu.estimate.wls import fit_wls, moment_init
+    from cokriging_tpu.fields import MultiField, apply_timedelta
+    from cokriging_tpu.predict import LocalPredictor
+
+    if df_xco2 is None or df_sif is None:
+        df_xco2, df_sif = synthesize_conus_months(
+            seed=seed, months=months, sif_coverage=sif_coverage
+        )
+    main = main_coords_array()
+    month_sif = apply_timedelta(timestamp, -1)
+
+    pcoords = prediction_coords().iloc[::pred_stride]
+    cov_pred = pcoords.copy()
+    cov_pred["evi"] = _evi_surface(
+        cov_pred["lat"].values, cov_pred["lon"].values
+    )
+
+    # ---- univariate SIF kriging (univariate_demo_sif.ipynb workflow) ----
+    mf_uni = MultiField.from_dataframes(
+        [df_sif], ["sif"], [["evi"]], timestamp=month_sif, timedeltas=[0],
+        main_coords=main,
+    )
+    est_uni = empirical_variograms(
+        mf_uni, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=1)
+    )
+    params_uni, fit_uni = fit_wls(
+        est_uni, init=moment_init(est_uni), method="adam", maxiter=maxiter
+    )
+    krig = LocalPredictor(
+        MultivariateMatern(1, params_uni), mf_uni, covariates=cov_pred
+    )
+    df_krig = krig(0, pcoords, max_dist=max_dist)
+    cv_krig = krig.cross_validation(0, max_dist=max_dist)
+
+    # ---- bivariate XCO2+SIF cokriging (modelling_comparison cells 19-29) --
+    mf_biv = MultiField.from_dataframes(
+        [df_xco2, df_sif],
+        ["xco2", "sif"],
+        [["lon", "lat"], ["evi"]],
+        timestamp=timestamp,
+        timedeltas=[0, -1],
+        main_coords=main,
+    )
+    est_biv = empirical_variograms(
+        mf_biv, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=2)
+    )
+    params_biv, fit_biv = fit_wls(
+        est_biv, init=moment_init(est_biv), method="adam", maxiter=maxiter
+    )
+    cokrig = LocalPredictor(
+        MultivariateMatern(2, params_biv), mf_biv, covariates=cov_pred
+    )
+    df_cokrig = cokrig(1, pcoords, max_dist=max_dist)
+    cv_cokrig = cokrig.cross_validation(1, max_dist=max_dist)
+
+    # ---- error-ratio frame (modelling_comparison cell 31) ----
+    ratio = df_cokrig.merge(
+        df_krig, on=["lat", "lon"], suffixes=("_cokrig", "_krig")
+    )
+    ratio["ratio"] = ratio["pred_err_cokrig"] ** 2 / ratio["pred_err_krig"] ** 2
+
+    def _scores(cv):
+        r = cv["residual"].dropna()
+        return float(np.mean(r**2)), float(np.mean(np.abs(r)))
+
+    mspe_k, mape_k = _scores(cv_krig)
+    mspe_c, mape_c = _scores(cv_cokrig)
+    scores = pd.DataFrame(
+        {
+            "method": ["kriging", "cokriging"],
+            "MSPE": [mspe_k, mspe_c],
+            "MAPE": [mape_k, mape_c],
+        }
+    )
+    return {
+        "df_krig": df_krig,
+        "df_cokrig": df_cokrig,
+        "cv_krig": cv_krig,
+        "cv_cokrig": cv_cokrig,
+        "ratio": ratio,
+        "scores": scores,
+        "params_uni": params_uni,
+        "params_biv": params_biv,
+        "fit_uni": fit_uni,
+        "fit_biv": fit_biv,
+    }
+
+
+def main():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    OUT.mkdir(exist_ok=True)
+
+    from cokriging_tpu.plot import (
+        plot_cv_resid,
+        plot_df,
+        plot_err_ratio,
+        plot_variograms,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sif", default=None, help="staged SIF parquet")
+    parser.add_argument("--xco2", default=None, help="staged XCO2 parquet")
+    parser.add_argument("--timestamp", default="2019-05-01")
+    args = parser.parse_args()
+
+    dfx = dfs = None
+    if args.sif and args.xco2:
+        from cokriging_tpu.utils.io import load_table
+
+        dfx, dfs = load_table(args.xco2), load_table(args.sif)
+
+    out = run_comparison(timestamp=args.timestamp, df_xco2=dfx, df_sif=dfs)
+
+    print("univariate SIF fit:")
+    print(out["params_uni"].to_dataframe().to_string(index=False))
+    print("bivariate XCO2+SIF fit:")
+    print(out["params_biv"].to_dataframe().to_string(index=False))
+    print(out["scores"].to_string(index=False))
+    frac = float((out["ratio"]["ratio"].dropna() < 1).mean())
+    print(f"error ratio < 1 at {100 * frac:.1f}% of prediction locations")
+
+    plot_variograms(out["fit_biv"], names=["xco2", "sif"]).savefig(
+        OUT / "comparison_variograms.png", dpi=120
+    )
+    plot_err_ratio(
+        out["df_cokrig"], out["df_krig"], coords=("lat", "lon"),
+        coastlines=True,
+    ).savefig(OUT / "comparison_err_ratio.png", dpi=120)
+    plot_cv_resid(out["cv_krig"], name="Kriging").savefig(
+        OUT / "comparison_cv_kriging.png", dpi=120
+    )
+    plot_cv_resid(out["cv_cokrig"], name="Cokriging").savefig(
+        OUT / "comparison_cv_cokriging.png", dpi=120
+    )
+    for col, fname in [("pred", "comparison_cokrig_pred.png"),
+                       ("pred_err", "comparison_cokrig_err.png")]:
+        plot_df(
+            out["df_cokrig"].dropna(subset=[col]), col,
+            title=f"SIF cokriging {col}",
+        ).get_figure().savefig(OUT / fname, dpi=120)
+    print(f"figures written to {OUT}")
+
+
+if __name__ == "__main__":
+    # Workflow scripts run on the CPU backend: true IEEE f64 (the TPU
+    # emulates f64) and no per-shape remote-compile latency at these tiny
+    # problem sizes. Must be set before first JAX device use.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    main()

@@ -23,13 +23,18 @@ def test_one_compile_serves_month_sweep():
     rf = BivariateRandomField(mod, grid, seed=5)
     pcoords = grid.coords.values[::4]
 
-    cache_sizes = []
-    for k, n in enumerate([50, 57, 61]):  # months with jittering obs counts
+    cache_sizes, signatures = [], []
+    for k, n in enumerate([57, 61, 64]):  # months with jittering obs counts
         mf = rf.to_fields(rf.sample(size=n, epsilon=[0.1, 0.1], seed=10 + k))
         lp = LocalPredictor(mod, mf)
+        # these month sizes land in one bucket: identical static signature
+        signatures.append(
+            (lp._sizes, lp._neighborhood_widths(pcoords, 0.6, False, 0))
+        )
         out = lp(0, pcoords, max_dist=0.6, postprocess=False)
         assert np.isfinite(out["pred"]).all()
         cache_sizes.append(_local_predict_batch._cache_size())
+    assert signatures[2] == signatures[1] == signatures[0], signatures
     # months 2 and 3 hit month 1's compiled program (no cache growth)
     assert cache_sizes[2] == cache_sizes[1] == cache_sizes[0]
 
