@@ -8,3 +8,13 @@ from cokriging_tpu.stats.spacetime import (  # noqa: F401
     get_stats,
     get_stats_df,
 )
+from cokriging_tpu.stats.regional import (  # noqa: F401
+    to_cubes,
+    gridded_stats,
+    map_transcom,
+    hemisphere_labels,
+    lat_band_labels,
+    regional_monthly,
+    regional_stats,
+    stats_to_grid,
+)
