@@ -10,7 +10,10 @@ Two passes:
    the reference's bin construction needs (src/fields.py:389-403:
    bin centers linspace(min_dist, max_dist_actual, n_bins), first edge
    pulled to 0);
-2. per-bin sums and counts via one-hot matmul accumulation (MXU-friendly).
+2. per-bin sums and counts via a static unroll of masked reductions that
+   XLA fuses into the distance/cloud stream (measured fastest on TPU —
+   615 ms vs 801 ms one-hot matmul vs 12 s segment_sum at n=25.6k,
+   n_bins=15; see tools/bench_binning.py and docs/DESIGN.md).
 
 Conventions preserved exactly:
 - marginal variogram uses strict-upper-triangle pairs; the cross variogram

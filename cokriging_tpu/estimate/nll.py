@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cokriging_tpu.cov.params import MaternParams, ParamSpec
-from cokriging_tpu.cov.matern import block_covariance
+from cokriging_tpu.cov.matern import covariance, cross_covariance
 from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
 
 
@@ -43,6 +43,27 @@ def joint_distance_blocks(coords_list, geodesic=True):
     return blocks
 
 
+def _chunked_cov_block(fn, h, chunk):
+    """Evaluate ``fn`` (an elementwise covariance map) over ``h`` in
+    row-chunks via ``lax.scan`` with a rematerialized body.
+
+    Reverse-mode through the K_nu kernel otherwise saves the stacked
+    5-row tangent intermediates for every matrix element at once
+    (f32[5, n, n] buffers — 745 MB each at n = 12.5k, OOM on one v5e);
+    per-chunk remat bounds backward memory at O(chunk * n) while the
+    forward still emits the full block (Cholesky needs it anyway).
+    """
+    n = h.shape[0]
+    if n <= chunk:
+        return jax.checkpoint(fn)(h)
+    pad = (-n) % chunk
+    hp = jnp.pad(h, ((0, pad), (0, 0)))
+    hc = hp.reshape(-1, chunk, h.shape[1])
+    body = jax.checkpoint(lambda carry, hk: (carry, fn(hk)))
+    _, out = jax.lax.scan(body, None, hc)
+    return out.reshape(-1, h.shape[1])[:n]
+
+
 def neg_log_likelihood(
     flat,
     dists,
@@ -50,6 +71,7 @@ def neg_log_likelihood(
     spec: ParamSpec,
     measurement_var=None,
     jitter: float = 0.0,
+    chunk: int = 1024,
 ):
     """Jittable exact NLL of stacked residuals ``z`` under flat params.
 
@@ -62,16 +84,23 @@ def neg_log_likelihood(
             the diagonal (prep_sif/prep_xco2 semantics,
             src/data_utils.py:28, 68).
         jitter: optional diagonal regularization.
+        chunk: static row-chunk size for the rematerialized covariance
+            assembly (see _chunked_cov_block).
     """
-    # Rematerialize the covariance assembly: reverse-mode otherwise saves
-    # the K_nu tangent intermediates for every matrix element (~100 n^2
-    # buffers — 186 GB at n = 20k), while recomputing the assembly in the
-    # backward pass costs one extra forward.
-    def _assemble(f):
-        params = MaternParams.from_flat(f, spec=spec)
-        return block_covariance(params, dists)
-
-    cov = jax.checkpoint(_assemble)(flat)
+    params = MaternParams.from_flat(flat, spec=spec)
+    p = params.n_procs
+    blocks = {}
+    for i in range(p):
+        for j in range(p):
+            if i <= j:
+                if i == j:
+                    fn = partial(covariance, params, i)
+                else:
+                    fn = partial(cross_covariance, params, i, j)
+                blocks[(i, j)] = _chunked_cov_block(fn, dists[i][j], chunk)
+            else:
+                blocks[(i, j)] = blocks[(j, i)].T
+    cov = jnp.block([[blocks[(i, j)] for j in range(p)] for i in range(p)])
     n = cov.shape[0]
     diag_extra = jnp.full(n, jitter, cov.dtype)
     if measurement_var is not None:
@@ -123,15 +152,99 @@ def _nll_u_value_and_grad(u, lo, hi, dists, z, spec, measurement_var, jitter):
     return v, _clean_grad(g)
 
 
+def _make_clean_objective(lo, hi, dists, z, spec, measurement_var, jitter):
+    """Sigmoid-box-transformed NLL objective whose *gradients* are clean by
+    construction (custom VJP zeroes non-finite entries). Needed so the zoom
+    linesearch inside on-device L-BFGS can probe non-PD penalty points
+    without poisoning the curvature memory with NaNs."""
+
+    def raw(u):
+        x = lo + (hi - lo) * jax.nn.sigmoid(u)
+        return neg_log_likelihood(x, dists, z, spec, measurement_var, jitter)
+
+    @jax.custom_vjp
+    def obj(u):
+        return raw(u)
+
+    def fwd(u):
+        v, g = jax.value_and_grad(raw)(u)
+        return v, _clean_grad(g)
+
+    def bwd(g_clean, ct):
+        return (ct * g_clean,)
+
+    obj.defvjp(fwd, bwd)
+    return obj
+
+
+def make_device_nll_lbfgs_fitter(
+    spec: ParamSpec, maxiter=200, tol=1e-6, memory_size=15
+):
+    """Fully on-device L-BFGS maximum-likelihood fitter: optax.lbfgs with
+    zoom linesearch on the sigmoid-box-transformed NLL, one
+    `lax.while_loop` program. Unlike the Adam fitter this converges to the
+    same tight optima as the host scipy driver (tests/test_nll.py asserts
+    agreement) while paying ONE dispatch instead of per-eval host relay
+    latency — the right default on TPU.
+
+    Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll).
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    lo_np, hi_np = spec.bounds()
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=25, initial_guess_strategy="one"
+        ),
+    )
+
+    def fit(x0, dists, z, measurement_var, jitter):
+        dt = z.dtype
+        lo = jnp.asarray(lo_np, dt)
+        hi = jnp.asarray(hi_np, dt)
+        obj = _make_clean_objective(
+            lo, hi, dists, z, spec, measurement_var, jitter
+        )
+        value_and_grad = optax.value_and_grad_from_state(obj)
+
+        z0 = jnp.clip((jnp.asarray(x0, dt) - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+        u0 = jnp.log(z0) - jnp.log1p(-z0)
+
+        def step(carry):
+            u, state = carry
+            value, grad = value_and_grad(u, state=state)
+            updates, state = opt.update(
+                grad, state, u, value=value, grad=grad, value_fn=obj
+            )
+            u = optax.apply_updates(u, updates)
+            return u, state
+
+        def continuing(carry):
+            _, state = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            err = otu.tree_l2_norm(grad)
+            return (count == 0) | ((count < maxiter) & (err >= tol))
+
+        u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
+        v = obj(u)
+        return lo + (hi - lo) * jax.nn.sigmoid(u), v
+
+    return fit
+
+
 def make_device_nll_fitter(spec: ParamSpec, maxiter=500, lr=0.1):
     """Fully on-device maximum-likelihood fitter: Adam + cosine decay on
     the sigmoid-box-transformed NLL, one `lax.scan` program (one dispatch
     instead of a host-driven optimizer paying relay latency per eval).
 
     NOTE: first-order Adam trades optimum tightness for dispatch count on
-    the stiff NLL surface — use `fit_nll` (scipy L-BFGS driver) when
-    per-eval latency is cheap or a tight optimum matters; use this for
-    TPU-resident or heavily batched fits.
+    the stiff NLL surface — prefer `make_device_nll_lbfgs_fitter` (tight
+    optima, still one dispatch) or `fit_nll` (scipy driver) when optimum
+    quality matters; Adam remains useful for heavily batched fits where a
+    fixed-trip scan is easier to vmap.
 
     Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll).
     """
@@ -184,13 +297,15 @@ def fit_nll_device(
     init: Optional[MaternParams] = None,
     use_measurement_var: bool = False,
     jitter: float = 1e-8,
-    maxiter: int = 500,
+    maxiter: int = 200,
     main: bool = True,
+    method: str = "lbfgs",
 ) -> Tuple[MaternParams, dict]:
-    """Maximum-likelihood fit entirely on device (see make_device_nll_fitter).
+    """Maximum-likelihood fit entirely on device as ONE compiled program.
 
-    Prefer this on TPU; `fit_nll` (scipy L-BFGS driver) gives tighter
-    optima on CPU where per-eval latency is negligible.
+    ``method="lbfgs"`` (default) uses on-device L-BFGS with zoom linesearch
+    and matches the host scipy driver's optima; ``method="adam"`` is the
+    fixed-trip first-order fallback (vmap-friendly, looser optimum).
     """
     init = init or MaternParams.default(mf.n_procs)
     spec = init.spec
@@ -208,7 +323,12 @@ def fit_nll_device(
                 for f in mf.fields
             ]
         )
-    fitter = jax.jit(make_device_nll_fitter(spec, maxiter))
+    if method == "lbfgs":
+        fitter = jax.jit(make_device_nll_lbfgs_fitter(spec, maxiter))
+    elif method == "adam":
+        fitter = jax.jit(make_device_nll_fitter(spec, maxiter))
+    else:
+        raise ValueError(f"unknown device NLL method: {method!r}")
     x, nll = fitter(init.to_flat(), dists, z, mvar, jitter)
     params = MaternParams.from_flat(x, spec=spec)
     return params, {

@@ -3,4 +3,5 @@ from cokriging_tpu.kernels.distance import (  # noqa: F401
     haversine_matrix,
     euclidean_matrix,
     distance_matrix,
+    vincenty_matrix,
 )

@@ -76,13 +76,115 @@ def euclidean_matrix(coords1, coords2, zero_tol=ZERO_SNAP):
     return _snap(jnp.sqrt(d2), zero_tol)
 
 
-def distance_matrix(coords1, coords2, geodesic=True):
+#: WGS84 ellipsoid (km) — the datum geopy's exact geodesic path uses
+#: (src/fields.py:331-336, ``fast_dist=False``).
+WGS84_A_KM = 6378.137
+WGS84_F = 1.0 / 298.257223563
+WGS84_B_KM = WGS84_A_KM * (1.0 - WGS84_F)
+
+
+def vincenty_matrix(coords1, coords2, n_iter=30, zero_tol=ZERO_SNAP):
+    """Exact ellipsoidal (WGS84) distance matrix in kilometers — the
+    TPU-native equivalent of the reference's slow path
+    (``distance_matrix(..., fast_dist=False)`` via geopy,
+    src/fields.py:331-336).
+
+    Vincenty's inverse formula with a *fixed* ``n_iter``-trip lambda
+    iteration (jit/vmap-friendly: no data-dependent control flow). Agrees
+    with Karney's algorithm to sub-millimeter everywhere except
+    near-antipodal pairs (where classic Vincenty does not converge); for
+    the reference's CONUS workloads no pair is near-antipodal.
+
+    Args:
+        coords1: (n, 2) [lat, lon] degrees.
+        coords2: (m, 2) [lat, lon] degrees.
+
+    Returns:
+        (n, m) distances in km.
+    """
+    c1 = jnp.deg2rad(jnp.atleast_2d(coords1))
+    c2 = jnp.deg2rad(jnp.atleast_2d(coords2))
+    f = WGS84_F
+    u1 = jnp.arctan((1.0 - f) * jnp.tan(c1[:, 0:1]))  # (n, 1) reduced lats
+    u2 = jnp.arctan((1.0 - f) * jnp.tan(c2[:, 0:1].T))  # (1, m)
+    big_l = c1[:, 1:2] - c2[:, 1:2].T  # (n, m) lon difference
+    sin_u1, cos_u1 = jnp.sin(u1), jnp.cos(u1)
+    sin_u2, cos_u2 = jnp.sin(u2), jnp.cos(u2)
+    eps = 1e-12
+
+    def body(_, lam):
+        sin_lam, cos_lam = jnp.sin(lam), jnp.cos(lam)
+        sin_sigma = jnp.sqrt(
+            (cos_u2 * sin_lam) ** 2
+            + (cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam) ** 2
+        )
+        cos_sigma = sin_u1 * sin_u2 + cos_u1 * cos_u2 * cos_lam
+        sigma = jnp.arctan2(sin_sigma, cos_sigma)
+        sin_alpha = cos_u1 * cos_u2 * sin_lam / jnp.maximum(sin_sigma, eps)
+        cos2_alpha = jnp.maximum(1.0 - sin_alpha**2, eps)
+        cos_2sm = cos_sigma - 2.0 * sin_u1 * sin_u2 / cos2_alpha
+        c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_new = big_l + (1.0 - c) * f * sin_alpha * (
+            sigma
+            + c
+            * sin_sigma
+            * (cos_2sm + c * cos_sigma * (-1.0 + 2.0 * cos_2sm**2))
+        )
+        # coincident points: keep lambda fixed (distance resolves to 0)
+        return jnp.where(sin_sigma < eps, lam, lam_new)
+
+    import jax
+
+    lam = jax.lax.fori_loop(0, n_iter, body, big_l)
+
+    sin_lam, cos_lam = jnp.sin(lam), jnp.cos(lam)
+    sin_sigma = jnp.sqrt(
+        (cos_u2 * sin_lam) ** 2
+        + (cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam) ** 2
+    )
+    cos_sigma = sin_u1 * sin_u2 + cos_u1 * cos_u2 * cos_lam
+    sigma = jnp.arctan2(sin_sigma, cos_sigma)
+    sin_alpha = cos_u1 * cos_u2 * sin_lam / jnp.maximum(sin_sigma, eps)
+    cos2_alpha = jnp.maximum(1.0 - sin_alpha**2, eps)
+    cos_2sm = cos_sigma - 2.0 * sin_u1 * sin_u2 / cos2_alpha
+    u_sq = cos2_alpha * (WGS84_A_KM**2 - WGS84_B_KM**2) / WGS84_B_KM**2
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+    delta_sigma = (
+        big_b
+        * sin_sigma
+        * (
+            cos_2sm
+            + big_b
+            / 4.0
+            * (
+                cos_sigma * (-1.0 + 2.0 * cos_2sm**2)
+                - big_b
+                / 6.0
+                * cos_2sm
+                * (-3.0 + 4.0 * sin_sigma**2)
+                * (-3.0 + 4.0 * cos_2sm**2)
+            )
+        )
+    )
+    d = WGS84_B_KM * big_a * (sigma - delta_sigma)
+    return _snap(d, zero_tol)
+
+
+def distance_matrix(coords1, coords2, geodesic=True, exact=False):
     """Dispatch on coordinate system.
 
     ``geodesic=True`` -> haversine km on [lat, lon] degrees (the reference's
     ``fast_dist=True`` path); ``geodesic=False`` -> Euclidean (``units=None``
-    path used by simulated fields).
+    path used by simulated fields); ``exact=True`` (with geodesic) -> the
+    WGS84 Vincenty path (reference ``fast_dist=False``,
+    src/fields.py:331-336). The prediction/variogram stack defaults to the
+    fast path because every reference result does.
     """
     if geodesic:
+        if exact:
+            return vincenty_matrix(coords1, coords2)
         return haversine_matrix(coords1, coords2)
     return euclidean_matrix(coords1, coords2)

@@ -4,6 +4,10 @@ from cokriging_tpu.stats.spacetime import (  # noqa: F401
     count_valid,
     xcor_1d,
     xcor_nd,
+    xcov_1d,
+    xcov_nd,
+    apply_cross_covariance,
+    optim_lag_1d,
     optim_lag_nd,
     get_stats,
     get_stats_df,

@@ -149,6 +149,99 @@ def optim_lag_nd(Z1, Z2, lag_bnds, tau=None):
     }
 
 
+@partial(jax.jit, static_argnames=("lag",))
+def _xcov_masked(z1, z2, lag):
+    """Masked lagged cross-covariance along the last axis — the notebook's
+    Cressie–Wikle Eq 5.4 estimator (research/analysis_sif_xco2_crosscov.ipynb
+    `compute_xcov_nd`): each cube is centered by its own full-series masked
+    mean *before* the lag truncation, then the pairwise-valid products are
+    averaged (np.ma mean semantics)."""
+    m1 = jnp.isfinite(z1)
+    m2 = jnp.isfinite(z2)
+    n1 = jnp.maximum(jnp.sum(m1, -1, keepdims=True), 1)
+    n2 = jnp.maximum(jnp.sum(m2, -1, keepdims=True), 1)
+    x = jnp.where(m1, z1, 0.0) - jnp.sum(jnp.where(m1, z1, 0.0), -1, keepdims=True) / n1
+    y = jnp.where(m2, z2, 0.0) - jnp.sum(jnp.where(m2, z2, 0.0), -1, keepdims=True) / n2
+    x = jnp.where(m1, x, 0.0)
+    y = jnp.where(m2, y, 0.0)
+    if lag != 0:
+        x = x[..., lag:]
+        m1 = m1[..., lag:]
+        y = y[..., : -lag]
+        m2 = m2[..., : -lag]
+    both = m1 & m2
+    n_pairs = jnp.sum(both, -1)
+    sxy = jnp.sum(jnp.where(both, x * y, 0.0), -1)
+    xcov = jnp.where(n_pairs > 0, sxy / jnp.maximum(n_pairs, 1), jnp.nan)
+    return xcov, n_pairs
+
+
+def xcov_1d(v1, v2, lag=0, tau=None):
+    """Lagged cross-covariance of two 1-d series
+    (research/analysis_sif_xco2_crosscov.ipynb `compute_xcov_1d`)."""
+    xc, n = _xcov_masked(
+        jnp.atleast_1d(jnp.asarray(v1, float)),
+        jnp.atleast_1d(jnp.asarray(v2, float)),
+        int(lag),
+    )
+    if tau is not None and int(n) < tau:
+        return float("nan")
+    return float(xc)
+
+
+def xcov_nd(Z1, Z2, lag=0, tau=None):
+    """Gridded lagged cross-covariance over (..., T) cubes
+    (research/analysis_sif_xco2_crosscov.ipynb `compute_xcov_nd`)."""
+    xc, n = _xcov_masked(jnp.asarray(Z1, float), jnp.asarray(Z2, float), int(lag))
+    if tau is not None:
+        xc = jnp.where(n >= tau, xc, jnp.nan)
+    return np.asarray(xc)
+
+
+def apply_cross_covariance(Z1, Z2, lag=0, tau=None):
+    """Per-cell lagged cross-covariance map — one XLA call over the whole
+    cube, replacing the notebook's dask-parallelized `apply_ufunc`
+    (research/analysis_sif_xco2_crosscov.ipynb cells 20, 27, 33). Unlike
+    `apply_xcor` this does NOT detrend (parity with the notebook)."""
+    return xcov_nd(Z1, Z2, lag=lag, tau=tau)
+
+
+def optim_lag_1d(v1, v2, lag_bnds, tau=None):
+    """Lag maximizing |xcor| between two 1-d anomaly series over an integer
+    range — the global-series lag search the notebook does with
+    `minimize_scalar` + a grid sweep
+    (research/analysis_sif_xco2_crosscov.ipynb cells 12-15). Returns
+    dict(optim_lag, xcor).
+
+    Host-side numpy on purpose: one tiny 1-d pair swept over hundreds of
+    lags would otherwise compile one XLA program per lag (``lag`` is a
+    static slice bound); the per-cell search stays on device in
+    `optim_lag_nd`, whose lag range is small."""
+    r1 = np.asarray(detrend(jnp.atleast_1d(jnp.asarray(v1, float)))[0])
+    r2 = np.asarray(detrend(jnp.atleast_1d(jnp.asarray(v2, float)))[0])
+    m1_full, m2_full = np.isfinite(r1), np.isfinite(r2)
+    x_full = np.where(m1_full, r1 - np.nanmean(r1), 0.0)
+    y_full = np.where(m2_full, r2 - np.nanmean(r2), 0.0)
+    best_lag, best_xc = None, float("nan")
+    for lag in np.arange(*lag_bnds):
+        lag = int(lag)
+        if lag == 0:
+            x, m1, y, m2 = x_full, m1_full, y_full, m2_full
+        else:
+            x, m1 = x_full[lag:], m1_full[lag:]
+            y, m2 = y_full[:-lag], m2_full[:-lag]
+        both = m1 & m2
+        if tau is not None and both.sum() < tau:
+            continue
+        denom = np.sqrt((x[m1] ** 2).sum()) * np.sqrt((y[m2] ** 2).sum())
+        if denom <= 0:
+            continue
+        xc = float((x * y)[both].sum() / denom)
+        if np.isfinite(xc) and (best_lag is None or abs(xc) > abs(best_xc)):
+            best_lag, best_xc = lag, xc
+    return {"optim_lag": best_lag, "xcor": best_xc}
+
+
 def get_stats(cubes: dict) -> dict:
     """Counts, slopes, and residual std-devs for sif/xco2 cubes
     (src/stat_tools.py:237-247). ``cubes`` maps name -> (..., T) array."""

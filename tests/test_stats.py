@@ -117,3 +117,53 @@ def test_get_stats_and_df(rng):
     )
     out = get_stats_df(df, lags=[0, 1])
     assert {"sif_count", "xco2_slope", "xcor_lag0", "xcor_lag1"} <= set(out.columns)
+
+
+# --- lagged cross-covariance (research/analysis_sif_xco2_crosscov.ipynb) ---
+
+
+def _oracle_xcov_nd(Z1, Z2, lag):
+    """Literal np.ma transcription of the notebook's compute_xcov_nd."""
+    Z1_m = np.ma.array(Z1, mask=np.isnan(Z1))
+    Z2_m = np.ma.array(Z2, mask=np.isnan(Z2))
+    X = (Z1_m - Z1_m.mean(axis=-1, keepdims=True))[..., lag:]
+    Y = (Z2_m - Z2_m.mean(axis=-1, keepdims=True))[..., :-lag]
+    xcov = np.mean(X * Y, axis=-1)
+    return np.ma.filled(xcov.astype(float), np.nan)
+
+
+def test_xcov_nd_matches_notebook_oracle(rng):
+    from cokriging_tpu.stats import xcov_nd
+
+    Z1 = rng.normal(size=(4, 5, 60))
+    Z2 = 0.4 * Z1 + rng.normal(scale=0.8, size=(4, 5, 60))
+    Z1[rng.random(Z1.shape) < 0.15] = np.nan
+    Z2[rng.random(Z2.shape) < 0.15] = np.nan
+    got = xcov_nd(Z1, Z2, lag=3)
+    ref = _oracle_xcov_nd(Z1, Z2, lag=3)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_xcov_1d_matches_notebook_oracle(rng):
+    from cokriging_tpu.stats import xcov_1d
+
+    v1 = rng.normal(size=80)
+    v2 = rng.normal(size=80)
+    got = xcov_1d(v1, v2, lag=5)
+    # notebook compute_xcov_1d (no NaNs -> nanmean == mean)
+    x = (v1 - np.nanmean(v1))[5:]
+    y = (v2 - np.nanmean(v2))[:-5]
+    np.testing.assert_allclose(got, np.nanmean(x * y), rtol=1e-9)
+
+
+def test_optim_lag_1d_recovers_shift(rng):
+    from cokriging_tpu.stats import optim_lag_1d
+
+    t = np.arange(400)
+    base = np.sin(2 * np.pi * t / 80.0)
+    true_lag = 12
+    v1 = base + rng.normal(scale=0.05, size=400)
+    v2 = np.roll(base, -true_lag) + rng.normal(scale=0.05, size=400)
+    out = optim_lag_1d(v1, v2, (0, 30))
+    assert out["optim_lag"] == true_lag
+    assert abs(out["xcor"]) > 0.9
