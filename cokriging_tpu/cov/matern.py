@@ -32,19 +32,8 @@ from cokriging_tpu.cov.params import MaternParams
 from cokriging_tpu.kernels.bessel import kv
 
 
-def matern_correlation(nu, len_scale, h):
-    r"""Matern correlation :math:`\rho(h)` in log space (src/model.py:354-385).
-
-    .. math::
-        \rho(h) = \frac{2^{1-\nu}}{\Gamma(\nu)}
-                  (\sqrt{2\nu} h/\ell)^{\nu} K_\nu(\sqrt{2\nu} h/\ell)
-
-    h == 0 maps to 1 exactly; non-finite intermediate values map to 0
-    (far-field underflow for large nu); result clamped to [0, inf).
-    """
-    h = jnp.asarray(h)
-    if not jnp.issubdtype(h.dtype, jnp.floating):
-        h = h.astype(jnp.result_type(float))
+def _matern_corr_raw(nu, len_scale, h):
+    """Elementwise Matern correlation body (see matern_correlation)."""
     h = jnp.abs(h)
     positive = h > 0.0
     hs = jnp.where(positive, h, 1.0) / len_scale
@@ -54,6 +43,90 @@ def matern_correlation(nu, len_scale, h):
     corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
     corr = jnp.maximum(corr, 0.0)
     return jnp.where(positive, corr, 1.0)
+
+
+#: Elements per backward chunk of the custom-VJP correlation (~16 MB f32
+#: per plain buffer, 5x that for the stacked K_nu rows the inner vjp saves).
+BWD_CHUNK_ELEMS = 1 << 22
+
+
+def _matern_corr_cvjp_bwd(res, ct):
+    """Explicitly chunked reverse pass.
+
+    Reverse-mode through ``kv``'s stacked 5-row JVP otherwise saves
+    f32[5, n, n] residuals for the whole matrix at once — 745 MB per block
+    at n = 12.5k; XLA's own remat left ~19 GB of HLO temps live at the
+    n~25k north-star NLL and OOM'd one v5e chip. Scanning the backward
+    over flat element chunks bounds residual memory at
+    O(5 * BWD_CHUNK_ELEMS) regardless of matrix size.
+    """
+    nu, ls, h = res
+    shape = h.shape
+    n = h.size
+    hf = jnp.ravel(h)
+    ctf = jnp.ravel(jnp.asarray(ct))
+    chunk = min(n, BWD_CHUNK_ELEMS) or 1
+
+    def one(hc, cc):
+        out, vjp = jax.vjp(_matern_corr_raw, nu, ls, hc)
+        # mixed-precision callers (f32 distances, f64 params) promote the
+        # primal output; the cotangent must match its dtype exactly
+        return vjp(cc.astype(out.dtype))
+
+    if n <= chunk:
+        g_nu, g_ls, g_hf = one(hf, ctf)
+        return g_nu, g_ls, g_hf.reshape(shape)
+
+    pad = (-n) % chunk
+    # pad h with 1.0 (positive, away from the h == 0 branch) and the
+    # cotangent with 0 so padded lanes contribute nothing
+    hc = jnp.concatenate([hf, jnp.ones(pad, hf.dtype)]).reshape(-1, chunk)
+    cc = jnp.concatenate([ctf, jnp.zeros(pad, ctf.dtype)]).reshape(-1, chunk)
+
+    def body(carry, xs):
+        g_nu, g_ls = carry
+        gn, gl, gh = one(*xs)
+        return (g_nu + gn, g_ls + gl), gh
+
+    zero = (jnp.zeros_like(nu), jnp.zeros_like(ls))
+    (g_nu, g_ls), ghs = jax.lax.scan(body, zero, (hc, cc))
+    return g_nu, g_ls, ghs.reshape(-1)[:n].reshape(shape)
+
+
+@jax.custom_vjp
+def _matern_corr_cvjp(nu, len_scale, h):
+    return _matern_corr_raw(nu, len_scale, h)
+
+
+_matern_corr_cvjp.defvjp(
+    lambda nu, ls, h: (_matern_corr_raw(nu, ls, h), (nu, ls, h)),
+    _matern_corr_cvjp_bwd,
+)
+
+
+def matern_correlation(nu, len_scale, h):
+    r"""Matern correlation :math:`\rho(h)` in log space (src/model.py:354-385).
+
+    .. math::
+        \rho(h) = \frac{2^{1-\nu}}{\Gamma(\nu)}
+                  (\sqrt{2\nu} h/\ell)^{\nu} K_\nu(\sqrt{2\nu} h/\ell)
+
+    h == 0 maps to 1 exactly; non-finite intermediate values map to 0
+    (far-field underflow for large nu); result clamped to [0, inf).
+
+    Differentiable in all arguments. For scalar nu/len_scale the reverse
+    pass runs through an explicitly chunked custom VJP
+    (_matern_corr_cvjp_bwd) so NLL/WLS gradients over large distance
+    matrices stay memory-bounded.
+    """
+    h = jnp.asarray(h)
+    if not jnp.issubdtype(h.dtype, jnp.floating):
+        h = h.astype(jnp.result_type(float))
+    nu = jnp.asarray(nu)
+    len_scale = jnp.asarray(len_scale)
+    if nu.ndim == 0 and len_scale.ndim == 0:
+        return _matern_corr_cvjp(nu, len_scale, h)
+    return _matern_corr_raw(nu, len_scale, h)
 
 
 def correlation(params: MaternParams, i: int, j: int, h):

@@ -123,7 +123,12 @@ class MaternParams:
         """Build from the reference-ordered flat vector (src/model.py:145)."""
         spec = spec or ParamSpec(n_procs=n_procs)
         p = spec.n_procs
-        x = jnp.asarray(x, jnp.result_type(float))
+        x = jnp.asarray(x)
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.result_type(float))
+        # preserve the caller's float precision: an f32 flat vector must
+        # produce f32 params end to end, or every downstream covariance
+        # assembly / Cholesky silently promotes to (TPU-emulated) f64
         t = p * (p + 1) // 2
         s = p * (p - 1) // 2
         k = 0
@@ -139,7 +144,7 @@ class MaternParams:
         len_scale = _sym_from_triu(take(t), p, k_diag=0)
         nugget = take(p)
         rho = _sym_from_triu(take(s), p, k_diag=1)
-        rho = rho + jnp.eye(p)
+        rho = rho + jnp.eye(p, dtype=x.dtype)
         assert k == spec.n_params
         return MaternParams(sigma, nu, len_scale, nugget, rho, spec)
 

@@ -4,6 +4,7 @@ from cokriging_tpu.data.grids import (  # noqa: F401
     regrid,
     land_grid,
     monthly_avg,
+    temporal_avg,
     apply_land_mask,
     prep_gridded_df,
     augment_dataset,

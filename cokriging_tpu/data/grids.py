@@ -138,17 +138,26 @@ def land_grid(
     )
 
 
-def monthly_avg(df_grid: pd.DataFrame) -> pd.DataFrame:
-    """Per-cell monthly averages (src/data_utils.py:219-227)."""
+def temporal_avg(df_grid: pd.DataFrame, freq: str = "1MS") -> pd.DataFrame:
+    """Per-cell time-resampled averages at any pandas frequency — the
+    monthly case is src/data_utils.py:219-227; the weekly/daily variants
+    are the notebooks' inline groupby-resample chains (e.g.
+    notebooks/5degree_weekly_xcov.ipynb cell 5: ``.groupby(["lon",
+    "lat"]).resample("1W").mean()``)."""
     out = (
         df_grid.groupby(["lon", "lat"])
-        .resample("1MS", on="time")
+        .resample(freq, on="time")
         .mean()
     )
     # lon/lat may appear both in the group index and as mean'd columns
     # depending on pandas version; keep the index copy.
     out = out.drop(columns=[c for c in ("lon", "lat") if c in out.columns])
     return out.reset_index()
+
+
+def monthly_avg(df_grid: pd.DataFrame) -> pd.DataFrame:
+    """Per-cell monthly averages (src/data_utils.py:219-227)."""
+    return temporal_avg(df_grid, "1MS")
 
 
 def apply_land_mask(
@@ -170,9 +179,11 @@ def prep_gridded_df(
     config: GridConfig,
     aggregate: bool = True,
     land_mask_fn=None,
+    freq: str = "1MS",
 ) -> pd.DataFrame:
-    """Irregular obs -> regular grid of monthly averages, land only
-    (src/data_utils.py:240-258)."""
+    """Irregular obs -> regular grid of time-averaged cells, land only
+    (src/data_utils.py:240-258; ``freq`` generalizes the reference's
+    monthly default to the weekly/daily notebook variants)."""
     lon_b = config.lon_bounds
     lat_b = config.lat_bounds
     inside = (
@@ -184,7 +195,7 @@ def prep_gridded_df(
     df = df.loc[inside].reset_index(drop=True)
     df_grid = regrid(df, config)
     if aggregate:
-        df_grid = monthly_avg(df_grid)
+        df_grid = temporal_avg(df_grid, freq)
     return apply_land_mask(df_grid, config, land_mask_fn)
 
 

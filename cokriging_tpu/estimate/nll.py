@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cokriging_tpu.cov.params import MaternParams, ParamSpec
-from cokriging_tpu.cov.matern import covariance, cross_covariance
+from cokriging_tpu.cov.matern import block_covariance
 from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
 
 
@@ -43,27 +43,6 @@ def joint_distance_blocks(coords_list, geodesic=True):
     return blocks
 
 
-def _chunked_cov_block(fn, h, chunk):
-    """Evaluate ``fn`` (an elementwise covariance map) over ``h`` in
-    row-chunks via ``lax.scan`` with a rematerialized body.
-
-    Reverse-mode through the K_nu kernel otherwise saves the stacked
-    5-row tangent intermediates for every matrix element at once
-    (f32[5, n, n] buffers — 745 MB each at n = 12.5k, OOM on one v5e);
-    per-chunk remat bounds backward memory at O(chunk * n) while the
-    forward still emits the full block (Cholesky needs it anyway).
-    """
-    n = h.shape[0]
-    if n <= chunk:
-        return jax.checkpoint(fn)(h)
-    pad = (-n) % chunk
-    hp = jnp.pad(h, ((0, pad), (0, 0)))
-    hc = hp.reshape(-1, chunk, h.shape[1])
-    body = jax.checkpoint(lambda carry, hk: (carry, fn(hk)))
-    _, out = jax.lax.scan(body, None, hc)
-    return out.reshape(-1, h.shape[1])[:n]
-
-
 def neg_log_likelihood(
     flat,
     dists,
@@ -71,9 +50,15 @@ def neg_log_likelihood(
     spec: ParamSpec,
     measurement_var=None,
     jitter: float = 0.0,
-    chunk: int = 1024,
 ):
     """Jittable exact NLL of stacked residuals ``z`` under flat params.
+
+    Memory: the covariance assembly is wrapped in ``jax.checkpoint`` so the
+    backward pass holds no per-block correlation residuals, and the reverse
+    pass through the K_nu kernel itself is chunk-bounded by the Matern
+    correlation's custom VJP (cov/matern.py:_matern_corr_cvjp_bwd) — so
+    value+grad peaks at O(n^2) for the factorization, not O(5 n^2) for the
+    stacked Bessel tangents.
 
     Args:
         flat: flat parameter vector (reference ordering).
@@ -84,23 +69,13 @@ def neg_log_likelihood(
             the diagonal (prep_sif/prep_xco2 semantics,
             src/data_utils.py:28, 68).
         jitter: optional diagonal regularization.
-        chunk: static row-chunk size for the rematerialized covariance
-            assembly (see _chunked_cov_block).
     """
-    params = MaternParams.from_flat(flat, spec=spec)
-    p = params.n_procs
-    blocks = {}
-    for i in range(p):
-        for j in range(p):
-            if i <= j:
-                if i == j:
-                    fn = partial(covariance, params, i)
-                else:
-                    fn = partial(cross_covariance, params, i, j)
-                blocks[(i, j)] = _chunked_cov_block(fn, dists[i][j], chunk)
-            else:
-                blocks[(i, j)] = blocks[(j, i)].T
-    cov = jnp.block([[blocks[(i, j)] for j in range(p)] for i in range(p)])
+
+    def _assemble(f):
+        params = MaternParams.from_flat(f, spec=spec)
+        return block_covariance(params, dists)
+
+    cov = jax.checkpoint(_assemble)(flat)
     n = cov.shape[0]
     diag_extra = jnp.full(n, jitter, cov.dtype)
     if measurement_var is not None:

@@ -113,3 +113,38 @@ def test_oo_wrapper_variograms():
     # semivariogram starts at nugget (0 here) and increases
     g00 = df.loc[(0, 0)]["variogram"].values
     assert g00[0] == 0.0 and g00[-1] > g00[1]
+
+
+def test_matern_correlation_custom_vjp_matches_raw_ad():
+    """The chunk-bounded custom VJP (cov/matern.py:_matern_corr_cvjp_bwd)
+    must reproduce plain reverse-mode through the K_nu kernel exactly —
+    including the forced multi-chunk scan path and gradients w.r.t. h."""
+    import jax
+
+    import cokriging_tpu.cov.matern as M
+
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(np.abs(rng.normal(size=(23, 19))) * 900.0)
+    h = h.at[0, 0].set(0.0)
+    ct = jnp.asarray(rng.normal(size=(23, 19)))
+    p0 = jnp.array([1.37, 612.0])
+
+    def loss(fn):
+        return lambda p: jnp.sum(ct * fn(p[0], p[1], h))
+
+    saved = M.BWD_CHUNK_ELEMS
+    try:
+        M.BWD_CHUNK_ELEMS = 37  # force the padded multi-chunk scan
+        v1, g1 = jax.value_and_grad(loss(M.matern_correlation))(p0)
+        gh1 = jax.grad(
+            lambda hh: jnp.sum(ct * M.matern_correlation(1.37, 612.0, hh))
+        )(h)
+    finally:
+        M.BWD_CHUNK_ELEMS = saved
+    v2, g2 = jax.value_and_grad(loss(M._matern_corr_raw))(p0)
+    gh2 = jax.grad(
+        lambda hh: jnp.sum(ct * M._matern_corr_raw(1.37, 612.0, hh))
+    )(h)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), rtol=1e-8)

@@ -57,6 +57,20 @@ def test_monthly_avg_groups_cells():
     assert jan == 2.0 and len(out) == 2
 
 
+def test_temporal_avg_weekly():
+    """Weekly resampling — the notebooks' groupby-resample("1W") chain
+    (notebooks/5degree_weekly_xcov.ipynb cell 5)."""
+    from cokriging_tpu.data import temporal_avg
+
+    t = pd.to_datetime(["2015-01-05", "2015-01-07", "2015-01-14"])
+    df = pd.DataFrame(
+        {"time": t, "lon": [-105.0] * 3, "lat": [38.0] * 3, "v": [1.0, 3.0, 7.0]}
+    )
+    out = temporal_avg(df, "1W")
+    assert len(out) == 2  # two ISO weeks
+    np.testing.assert_allclose(sorted(out["v"]), [2.0, 7.0])
+
+
 def test_land_grid_conus_counts():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
