@@ -104,7 +104,125 @@ _matern_corr_cvjp.defvjp(
 )
 
 
-def matern_correlation(nu, len_scale, h):
+def _matern_corr_nh_bwd(res, ct):
+    """Reverse pass that skips the h-cotangent entirely.
+
+    Distances are *data* everywhere in this framework — only nu/len_scale
+    are optimized — yet the generic chunked bwd still materializes
+    reshape copies of h/ct plus a stacked matrix-sized g_h scan output.
+    At the n~25k NLL those dead buffers (and XLA's remat clones of them)
+    cost ~8 GB. Here the scan reads dynamic slices of the *input* buffers
+    and carries two scalars; g_h is a broadcast zero the consumer DCEs.
+    """
+    nu, ls, h = res
+    shape = h.shape
+    n = h.size
+    hf = jnp.ravel(h)
+    ctf = jnp.ravel(jnp.asarray(ct))
+    chunk = min(n, BWD_CHUNK_ELEMS) or 1
+
+    def grads_of(hc, cc):
+        out, vjp = jax.vjp(lambda a, b: _matern_corr_raw(a, b, hc), nu, ls)
+        return vjp(cc.astype(out.dtype))
+
+    n_full = (n // chunk) * chunk
+    g_nu, g_ls = jnp.zeros_like(nu), jnp.zeros_like(ls)
+    if n_full >= chunk:
+
+        def body(k, carry):
+            gn_acc, gl_acc = carry
+            hc = jax.lax.dynamic_slice(hf, (k * chunk,), (chunk,))
+            cc = jax.lax.dynamic_slice(ctf, (k * chunk,), (chunk,))
+            gn, gl = grads_of(hc, cc)
+            return gn_acc + gn, gl_acc + gl
+
+        g_nu, g_ls = jax.lax.fori_loop(0, n // chunk, body, (g_nu, g_ls))
+    if n - n_full:
+        gn, gl = grads_of(hf[n_full:], ctf[n_full:])
+        g_nu, g_ls = g_nu + gn, g_ls + gl
+    return g_nu, g_ls, jnp.zeros(shape, h.dtype)
+
+
+@jax.custom_vjp
+def _matern_corr_cvjp_nh(nu, len_scale, h):
+    return _matern_corr_raw(nu, len_scale, h)
+
+
+_matern_corr_cvjp_nh.defvjp(
+    lambda nu, ls, h: (_matern_corr_raw(nu, ls, h), (nu, ls, h)),
+    _matern_corr_nh_bwd,
+)
+
+
+def _scaled_matern_raw(scale, nugget, nu, ls, h):
+    """scale * M(nu, ls, h) + nugget at exactly h == 0 — one covariance
+    block (marginal: scale = sigma^2; cross: scale = rho sigma_i sigma_j,
+    nugget = 0). Conventions per src/model.py:193-207."""
+    m = _matern_corr_raw(nu, ls, h)
+    out = scale * m
+    return out + jnp.where(jnp.asarray(h) == 0.0, nugget, jnp.zeros_like(out))
+
+
+def _scaled_matern_nh_bwd(res, ct):
+    """Chunked reverse pass for a whole covariance block, scalars only.
+
+    Keeping the scale/nugget prefactors *outside* the chunked correlation
+    VJP forces AD to rematerialize the full M block per parameter (a
+    matrix-sized fusion per block per parameter: +8 GB at the n~25k NLL,
+    measured). Folding them in makes every cotangent a scalar, so the
+    backward is one fori_loop over input slices with a 4-scalar carry.
+    """
+    scale, nugget, nu, ls, h = res
+    shape = h.shape
+    n = h.size
+    hf = jnp.ravel(h)
+    ctf = jnp.ravel(jnp.asarray(ct))
+    chunk = min(n, BWD_CHUNK_ELEMS) or 1
+
+    def grads_of(hc, cc):
+        out, vjp = jax.vjp(
+            lambda s, t, a, b: _scaled_matern_raw(s, t, a, b, hc),
+            scale, nugget, nu, ls,
+        )
+        return vjp(cc.astype(out.dtype))
+
+    n_full = (n // chunk) * chunk
+    zeros = (
+        jnp.zeros_like(scale), jnp.zeros_like(nugget),
+        jnp.zeros_like(nu), jnp.zeros_like(ls),
+    )
+    if n_full >= chunk:
+
+        def body(k, carry):
+            hc = jax.lax.dynamic_slice(hf, (k * chunk,), (chunk,))
+            cc = jax.lax.dynamic_slice(ctf, (k * chunk,), (chunk,))
+            return jax.tree.map(jnp.add, carry, grads_of(hc, cc))
+
+        acc = jax.lax.fori_loop(0, n // chunk, body, zeros)
+    else:
+        acc = zeros
+    if n - n_full:
+        acc = jax.tree.map(
+            jnp.add, acc, grads_of(hf[n_full:], ctf[n_full:])
+        )
+    return (*acc, jnp.zeros(shape, h.dtype))
+
+
+@jax.custom_vjp
+def _scaled_matern_cvjp_nh(scale, nugget, nu, ls, h):
+    return _scaled_matern_raw(scale, nugget, nu, ls, h)
+
+
+_scaled_matern_cvjp_nh.defvjp(
+    lambda scale, nugget, nu, ls, h: (
+        _scaled_matern_raw(scale, nugget, nu, ls, h),
+        (scale, nugget, nu, ls, h),
+    ),
+    _scaled_matern_nh_bwd,
+)
+
+
+def matern_correlation(nu, len_scale, h, h_grad: bool = True):
     r"""Matern correlation :math:`\rho(h)` in log space (src/model.py:354-385).
 
     .. math::
@@ -117,7 +235,9 @@ def matern_correlation(nu, len_scale, h):
     Differentiable in all arguments. For scalar nu/len_scale the reverse
     pass runs through an explicitly chunked custom VJP
     (_matern_corr_cvjp_bwd) so NLL/WLS gradients over large distance
-    matrices stay memory-bounded.
+    matrices stay memory-bounded. ``h_grad=False`` additionally drops the
+    h-cotangent computation (_matern_corr_nh_bwd) — the right call when h
+    is data, which saves several matrix-sized backward buffers at large n.
     """
     h = jnp.asarray(h)
     if not jnp.issubdtype(h.dtype, jnp.floating):
@@ -125,32 +245,54 @@ def matern_correlation(nu, len_scale, h):
     nu = jnp.asarray(nu)
     len_scale = jnp.asarray(len_scale)
     if nu.ndim == 0 and len_scale.ndim == 0:
-        return _matern_corr_cvjp(nu, len_scale, h)
+        fn = _matern_corr_cvjp if h_grad else _matern_corr_cvjp_nh
+        return fn(nu, len_scale, h)
     return _matern_corr_raw(nu, len_scale, h)
 
 
-def correlation(params: MaternParams, i: int, j: int, h):
+def correlation(params: MaternParams, i: int, j: int, h, h_grad: bool = True):
     """Pairwise Matern correlation M_ij(h) (src/model.py:188-191)."""
-    return matern_correlation(params.nu[i, j], params.len_scale[i, j], h)
+    return matern_correlation(
+        params.nu[i, j], params.len_scale[i, j], h, h_grad=h_grad
+    )
 
 
-def covariance(params: MaternParams, i: int, h, use_nugget: bool = True):
+def covariance(
+    params: MaternParams, i: int, h, use_nugget: bool = True,
+    h_grad: bool = True,
+):
     """Marginal covariance of process i; nugget only at h == 0
-    (src/model.py:193-197)."""
+    (src/model.py:193-197).
+
+    ``h_grad=False`` evaluates the whole block (scale, nugget included)
+    through the chunk-bounded scalar-cotangent VJP — see
+    _scaled_matern_nh_bwd for why the prefactors must live inside it.
+    """
+    if not h_grad:
+        nugget = params.nugget[i] if use_nugget else jnp.zeros_like(
+            params.nugget[i]
+        )
+        return _scaled_matern_cvjp_nh(
+            params.sigma[i] ** 2, nugget,
+            params.nu[i, i], params.len_scale[i, i], jnp.asarray(h),
+        )
     cov = params.sigma[i] ** 2 * correlation(params, i, i, h)
     if use_nugget:
         cov = cov + jnp.where(jnp.asarray(h) == 0.0, params.nugget[i], 0.0)
     return cov
 
 
-def cross_covariance(params: MaternParams, i: int, j: int, h):
+def cross_covariance(
+    params: MaternParams, i: int, j: int, h, h_grad: bool = True
+):
     """Cross-covariance between processes i and j (src/model.py:199-207)."""
-    return (
-        params.rho[i, j]
-        * params.sigma[i]
-        * params.sigma[j]
-        * correlation(params, i, j, h)
-    )
+    scale = params.rho[i, j] * params.sigma[i] * params.sigma[j]
+    if not h_grad:
+        return _scaled_matern_cvjp_nh(
+            scale, jnp.zeros_like(scale),
+            params.nu[i, j], params.len_scale[i, j], jnp.asarray(h),
+        )
+    return scale * correlation(params, i, j, h)
 
 
 def semivariance(params: MaternParams, i: int, h):
@@ -236,7 +378,7 @@ def _joint_cov_impl(params, coords_tuple, geodesic):
     return block_covariance(params, dists)
 
 
-def block_covariance(params: MaternParams, dists):
+def block_covariance(params: MaternParams, dists, h_grad: bool = True):
     """Assemble the joint block covariance for p processes.
 
     Args:
@@ -246,6 +388,9 @@ def block_covariance(params: MaternParams, dists):
             observation sets of processes i and j; only i <= j entries
             are read (lower blocks are transposes, as in
             src/joint_prediction.py:124-153).
+        h_grad: pass ``False`` when the distances are data (not
+            differentiated) to skip the matrix-sized h-cotangent buffers
+            in the reverse pass (see matern_correlation).
 
     Returns:
         (sum n_i, sum n_i) joint covariance (nugget on exact-zero
@@ -258,9 +403,11 @@ def block_covariance(params: MaternParams, dists):
             if i <= j:
                 h = dists[i][j]
                 if i == j:
-                    blocks[(i, j)] = covariance(params, i, h)
+                    blocks[(i, j)] = covariance(params, i, h, h_grad=h_grad)
                 else:
-                    blocks[(i, j)] = cross_covariance(params, i, j, h)
+                    blocks[(i, j)] = cross_covariance(
+                        params, i, j, h, h_grad=h_grad
+                    )
             else:
                 blocks[(i, j)] = blocks[(j, i)].T
     return jnp.block([[blocks[(i, j)] for j in range(p)] for i in range(p)])

@@ -50,15 +50,19 @@ def neg_log_likelihood(
     spec: ParamSpec,
     measurement_var=None,
     jitter: float = 0.0,
+    analytic_grad: bool = True,
 ):
     """Jittable exact NLL of stacked residuals ``z`` under flat params.
 
-    Memory: the covariance assembly is wrapped in ``jax.checkpoint`` so the
-    backward pass holds no per-block correlation residuals, and the reverse
-    pass through the K_nu kernel itself is chunk-bounded by the Matern
-    correlation's custom VJP (cov/matern.py:_matern_corr_cvjp_bwd) — so
-    value+grad peaks at O(n^2) for the factorization, not O(5 n^2) for the
-    stacked Bessel tangents.
+    Memory: the reverse pass uses the analytic Gaussian-likelihood gradient
+    d(nll)/dC = 0.5 (C^-1 - alpha alpha^T) via a custom VJP (one explicit
+    triangular inverse + one MXU matmul) instead of AD through the Cholesky
+    factorization — AD's transpose/remat pipeline held a full extra
+    covariance copy plus six block-sized temps and OOM'd one v5e chip by
+    235 MB at the n = 25k north star. The single cotangent matrix then
+    flows into the covariance assembly, whose own reverse pass through the
+    K_nu kernel is chunk-bounded (cov/matern.py:_matern_corr_cvjp_bwd).
+    Peak memory is O(n^2) in a handful of buffers regardless of n.
 
     Args:
         flat: flat parameter vector (reference ordering).
@@ -69,32 +73,71 @@ def neg_log_likelihood(
             the diagonal (prep_sif/prep_xco2 semantics,
             src/data_utils.py:28, 68).
         jitter: optional diagonal regularization.
+        analytic_grad: route gradients through the closed-form d(nll)/dC
+            custom VJP (default). ``False`` differentiates straight through
+            the factorization — the cross-check path used by tests.
     """
 
     def _assemble(f):
         params = MaternParams.from_flat(f, spec=spec)
-        return block_covariance(params, dists)
+        cov = block_covariance(params, dists, h_grad=False)
+        n = cov.shape[0]
+        diag_extra = jnp.full(n, jitter, cov.dtype)
+        if measurement_var is not None:
+            diag_extra = diag_extra + measurement_var
+        return cov + jnp.diag(diag_extra)
 
-    cov = jax.checkpoint(_assemble)(flat)
-    n = cov.shape[0]
-    diag_extra = jnp.full(n, jitter, cov.dtype)
-    if measurement_var is not None:
-        diag_extra = diag_extra + measurement_var
-    cov = cov + jnp.diag(diag_extra)
-    chol = jnp.linalg.cholesky(cov)
-    # Non-PD parameter points (e.g. rho at +-1 with colocated samples) make
-    # the factorization NaN; return a large finite penalty with clean
-    # gradients instead so line searches can back off rather than abort.
-    bad = jnp.any(jnp.isnan(chol))
-    chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
-    alpha = jax.scipy.linalg.solve_triangular(chol, z, lower=True)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-    nll = 0.5 * (alpha @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
-    # Penalty magnitude matters: too large (1e12) and the line-search
-    # quadratic interpolation after hitting it produces a step below float
-    # resolution, stalling L-BFGS at the previous iterate.
-    penalty = jnp.asarray(1e6, cov.dtype) * (1.0 + 0.5 * n)
-    return jnp.where(bad, penalty, nll)
+    def _factor(f):
+        cov = jax.checkpoint(_assemble)(f)
+        n = cov.shape[0]
+        chol = jnp.linalg.cholesky(cov)
+        # Non-PD parameter points (e.g. rho at +-1 with colocated samples)
+        # make the factorization NaN; return a large finite penalty with
+        # clean gradients instead so line searches can back off rather
+        # than abort.
+        bad = jnp.any(jnp.isnan(chol))
+        chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
+        alpha = jax.scipy.linalg.solve_triangular(chol, z, lower=True)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        nll = 0.5 * (alpha @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
+        # Penalty magnitude matters: too large (1e12) and the line-search
+        # quadratic interpolation after hitting it produces a step below
+        # float resolution, stalling L-BFGS at the previous iterate.
+        penalty = jnp.asarray(1e6, cov.dtype) * (1.0 + 0.5 * n)
+        return jnp.where(bad, penalty, nll), (chol, alpha, bad)
+
+    if not analytic_grad:
+        return _factor(flat)[0]
+
+    @jax.custom_vjp
+    def _nll(f):
+        return _factor(f)[0]
+
+    def _fwd(f):
+        out, (chol, alpha, bad) = _factor(f)
+        return out, (f, chol, alpha, bad)
+
+    def _bwd(res, ct):
+        from cokriging_tpu.kernels.linalg import tri_inv_lower
+
+        f, chol, alpha, bad = res
+        # C^-1 = L^-T L^-1 via the blocked triangular inverse — XLA's
+        # square-RHS triangular-solve expander holds ~n/256 live
+        # matrix-sized temps (32.5 GB measured at n = 12.5k), so
+        # solve_triangular(L, eye(n)) is not usable here.
+        linv = tri_inv_lower(chol)
+        beta = jax.scipy.linalg.solve_triangular(
+            chol, alpha, lower=True, trans=1
+        )  # C^-1 z
+        g_cov = 0.5 * (linv.T @ linv - jnp.outer(beta, beta))
+        # At penalty (non-PD) points the objective is locally constant.
+        g_cov = jnp.where(bad, jnp.zeros_like(g_cov), g_cov) * ct
+        _, avjp = jax.vjp(_assemble, f)
+        (g_flat,) = avjp(g_cov)
+        return (g_flat,)
+
+    _nll.defvjp(_fwd, _bwd)
+    return _nll(flat)
 
 
 def _clean_grad(g):

@@ -148,3 +148,79 @@ def test_matern_correlation_custom_vjp_matches_raw_ad():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), rtol=1e-8)
+
+
+def test_matern_correlation_h_grad_false_matches():
+    """The h_grad=False reverse pass (cov/matern.py:_matern_corr_nh_bwd —
+    slice-scanned scalar-only accumulation, 437-element tail exercised)
+    must produce the same nu/len_scale gradients as full AD, and a zero
+    h-cotangent."""
+    import jax
+
+    import cokriging_tpu.cov.matern as M
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(np.abs(rng.normal(size=(31, 17))) * 700.0)
+    h = h.at[0, 0].set(0.0)
+    ct = jnp.asarray(rng.normal(size=(31, 17)))
+    p0 = jnp.array([2.1, 480.0])
+
+    saved = M.BWD_CHUNK_ELEMS
+    try:
+        M.BWD_CHUNK_ELEMS = 45  # multi-chunk loop + ragged tail
+        v1, g1 = jax.value_and_grad(
+            lambda p: jnp.sum(ct * M.matern_correlation(p[0], p[1], h, h_grad=False))
+        )(p0)
+        gh = jax.grad(
+            lambda hh: jnp.sum(
+                ct * M.matern_correlation(2.1, 480.0, hh, h_grad=False)
+            )
+        )(h)
+    finally:
+        M.BWD_CHUNK_ELEMS = saved
+    v2, g2 = jax.value_and_grad(
+        lambda p: jnp.sum(ct * M._matern_corr_raw(p[0], p[1], h))
+    )(p0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
+    assert np.all(np.asarray(gh) == 0.0)
+
+
+def test_block_covariance_h_grad_false_grads_match():
+    """block_covariance(h_grad=False) routes whole blocks (scale + nugget
+    included) through the scalar-cotangent chunked VJP
+    (cov/matern.py:_scaled_matern_nh_bwd); gradients w.r.t. the full flat
+    parameter vector must match plain AD through the default path."""
+    import jax
+
+    from cokriging_tpu.cov.matern import block_covariance
+    from cokriging_tpu.cov.params import MaternParams
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 13, 9
+    d00 = np.abs(rng.normal(size=(n0, n0))) * 500.0
+    d00[np.diag_indices(n0)] = 0.0
+    d11 = np.abs(rng.normal(size=(n1, n1))) * 500.0
+    d11[np.diag_indices(n1)] = 0.0
+    d01 = np.abs(rng.normal(size=(n0, n1))) * 500.0
+    dists = [
+        [jnp.asarray(d00), jnp.asarray(d01)],
+        [jnp.asarray(d01).T, jnp.asarray(d11)],
+    ]
+    ct = jnp.asarray(rng.normal(size=(n0 + n1, n0 + n1)))
+    flat = jnp.asarray(
+        [1.2, 0.8, 1.5, 1.7, 2.1, 400.0, 500.0, 600.0, 0.05, 0.1, -0.5]
+    )
+    spec = MaternParams.default().spec
+
+    def loss(h_grad):
+        def f(x):
+            p = MaternParams.from_flat(x, spec=spec)
+            return jnp.sum(ct * block_covariance(p, dists, h_grad=h_grad))
+
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(False))(flat)
+    v2, g2 = jax.value_and_grad(loss(True))(flat)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
