@@ -29,16 +29,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from cokriging_tpu.cov.params import MaternParams
-from cokriging_tpu.kernels.bessel import kv
+from cokriging_tpu.kernels.bessel import kv, lgamma_precise, log_precise
 
 
 def _matern_corr_raw(nu, len_scale, h):
-    """Elementwise Matern correlation body (see matern_correlation)."""
+    """Elementwise Matern correlation body (see matern_correlation).
+
+    log/lgamma go through kernels.bessel's precise f32 routines: the TPU
+    hardware approximations carry ~1e-4 absolute error, which dominated
+    both the f32 correlation values and (divided by the FD step) the
+    dK/dnu gradients. f64 inputs fall through to the stock primitives.
+    """
     h = jnp.abs(h)
     positive = h > 0.0
     hs = jnp.where(positive, h, 1.0) / len_scale
     arg = jnp.sqrt(2.0 * nu) * hs
-    log_pref = (1.0 - nu) * jnp.log(2.0) - jax.lax.lgamma(nu) + nu * jnp.log(arg)
+    log_pref = (
+        (1.0 - nu) * jnp.log(2.0) - lgamma_precise(nu) + nu * log_precise(arg)
+    )
     corr = jnp.exp(log_pref) * kv(nu, arg)
     corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
     corr = jnp.maximum(corr, 0.0)
@@ -154,11 +162,34 @@ _matern_corr_cvjp_nh.defvjp(
 )
 
 
-def _scaled_matern_raw(scale, nugget, nu, ls, h):
+def _use_pallas(h) -> bool:
+    """Static trace-time gate for the fused Pallas Matern kernels: TPU
+    backend, f32 matrix data, and a matrix big enough to amortize the
+    tile grid. (CPU f64 golden tests never take this path.)"""
+    import jax as _jax
+
+    return (
+        h.ndim == 2
+        and h.dtype == jnp.float32
+        and h.size >= 512 * 512
+        and _jax.default_backend() == "tpu"
+    )
+
+
+def _scaled_matern_raw(scale, nugget, nu, ls, h, pallas: bool = False):
     """scale * M(nu, ls, h) + nugget at exactly h == 0 — one covariance
     block (marginal: scale = sigma^2; cross: scale = rho sigma_i sigma_j,
-    nugget = 0). Conventions per src/model.py:193-207."""
-    m = _matern_corr_raw(nu, ls, h)
+    nugget = 0). Conventions per src/model.py:193-207.
+
+    ``pallas=True`` evaluates M through the fused VMEM kernel
+    (kernels.pallas_ops) — forward value only; callers guard with
+    _use_pallas."""
+    if pallas:
+        from cokriging_tpu.kernels.pallas_ops import matern_correlation_pallas
+
+        m = matern_correlation_pallas(nu, ls, h)
+    else:
+        m = _matern_corr_raw(nu, ls, h)
     out = scale * m
     return out + jnp.where(jnp.asarray(h) == 0.0, nugget, jnp.zeros_like(out))
 
@@ -174,6 +205,15 @@ def _scaled_matern_nh_bwd(res, ct):
     """
     scale, nugget, nu, ls, h = res
     shape = h.shape
+    if _use_pallas_scaled(scale, nugget, nu, ls, h):
+        from cokriging_tpu.kernels.pallas_ops import matern_block_grad_pallas
+
+        gs, gn, gnu, gls = matern_block_grad_pallas(scale, nugget, nu, ls, h, ct)
+        return (
+            gs.astype(scale.dtype), gn.astype(nugget.dtype),
+            gnu.astype(nu.dtype), gls.astype(ls.dtype),
+            jnp.zeros(shape, h.dtype),
+        )
     n = h.size
     hf = jnp.ravel(h)
     ctf = jnp.ravel(jnp.asarray(ct))
@@ -208,14 +248,28 @@ def _scaled_matern_nh_bwd(res, ct):
     return (*acc, jnp.zeros(shape, h.dtype))
 
 
+def _use_pallas_scaled(scale, nugget, nu, ls, h) -> bool:
+    """Forward gate for the fused kernels: the matrix gate plus f32
+    *parameters* — f64 params with f32 distances must take the promoting
+    XLA path (plain AD does), not silently downcast through the f32-only
+    Pallas kernel. The backward gate applies the same rule."""
+    return _use_pallas(h) and jnp.result_type(scale, nugget, nu, ls) == jnp.float32
+
+
 @jax.custom_vjp
 def _scaled_matern_cvjp_nh(scale, nugget, nu, ls, h):
-    return _scaled_matern_raw(scale, nugget, nu, ls, h)
+    return _scaled_matern_raw(
+        scale, nugget, nu, ls, h,
+        pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
+    )
 
 
 _scaled_matern_cvjp_nh.defvjp(
     lambda scale, nugget, nu, ls, h: (
-        _scaled_matern_raw(scale, nugget, nu, ls, h),
+        _scaled_matern_raw(
+            scale, nugget, nu, ls, h,
+            pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
+        ),
         (scale, nugget, nu, ls, h),
     ),
     _scaled_matern_nh_bwd,

@@ -50,7 +50,7 @@ def neg_log_likelihood(
     spec: ParamSpec,
     measurement_var=None,
     jitter: float = 0.0,
-    analytic_grad: bool = True,
+    analytic_grad=None,
 ):
     """Jittable exact NLL of stacked residuals ``z`` under flat params.
 
@@ -74,13 +74,19 @@ def neg_log_likelihood(
             src/data_utils.py:28, 68).
         jitter: optional diagonal regularization.
         analytic_grad: route gradients through the closed-form d(nll)/dC
-            custom VJP (default). ``False`` differentiates straight through
-            the factorization — the cross-check path used by tests.
+            custom VJP. ``False`` differentiates straight through the
+            factorization. Default ``None`` decides by static problem
+            size: the analytic path only pays off once the n^2 buffers
+            matter (n > 4096) — below that, plain AD compiles far faster
+            (the custom bwd's fori_loops inside optimizer while_loops
+            blew small-fit compile times up ~10x) and runs just as fast.
     """
+    if analytic_grad is None:
+        analytic_grad = z.shape[0] > 4096
 
     def _assemble(f):
         params = MaternParams.from_flat(f, spec=spec)
-        cov = block_covariance(params, dists, h_grad=False)
+        cov = block_covariance(params, dists, h_grad=not analytic_grad)
         n = cov.shape[0]
         diag_extra = jnp.full(n, jitter, cov.dtype)
         if measurement_var is not None:
@@ -98,7 +104,11 @@ def neg_log_likelihood(
         bad = jnp.any(jnp.isnan(chol))
         chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
         alpha = jax.scipy.linalg.solve_triangular(chol, z, lower=True)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+        # log_precise: TPU's f32 hw log has ~1e-4 abs error per element,
+        # which a 25k-term logdet sum turns into O(1) absolute NLL error
+        from cokriging_tpu.kernels.bessel import log_precise
+
+        logdet = 2.0 * jnp.sum(log_precise(jnp.diagonal(chol)))
         nll = 0.5 * (alpha @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
         # Penalty magnitude matters: too large (1e12) and the line-search
         # quadratic interpolation after hitting it produces a step below

@@ -40,6 +40,113 @@ _A3 = _EULER_GAMMA**3 / 6.0 - _EULER_GAMMA * _PI**2 / 12.0 + _ZETA3 / 3.0
 # NOTE: gam1 only needs ~1e-13 near mu=0; the switch point below keeps the
 # truncation error of the 2-term series under 1e-14, so no mu^4 term needed.
 
+# Taylor coefficients of 1/Gamma(1+z) = sum_k c_{k+1} z^k (DLMF 5.7.1/5.7.2,
+# shifted): used on |z| <= 0.502 where 13 terms reach f32 roundoff (measured
+# max abs err 7.8e-8). TPU's hardware lgamma approximation carries ~1e-4
+# absolute error — two orders worse than this polynomial — and exp(-lgamma)
+# is how the f32 gamma constants were previously formed.
+_INV_GAMMA1P_COEF = (
+    1.0000000000000000, 0.5772156649015329, -0.6558780715202538,
+    -0.0420026350340952, 0.1665386113822915, -0.0421977345555443,
+    -0.0096219715278770, 0.0072189432466630, -0.0011651675918591,
+    -0.0002152416741149, 0.0001280502823882, -0.0000201348547807,
+    -0.0000012504934821,
+)
+
+_LN2 = 0.6931471805599453
+
+
+def inv_gamma1p(z):
+    """1/Gamma(1+z) for |z| <= 0.502, by Taylor polynomial (f32-exact).
+
+    Pure multiply-adds — safe inside Pallas kernels and immune to the TPU's
+    low-precision lgamma/exp hardware approximations."""
+    z = jnp.asarray(z)
+    acc = jnp.full_like(z, _INV_GAMMA1P_COEF[-1])
+    for c in _INV_GAMMA1P_COEF[-2::-1]:
+        acc = acc * z + c
+    return acc
+
+
+def inv_gamma(nu):
+    """1/Gamma(nu) for 0 < nu <= NU_MAX + 0.5, f32-accurate on TPU.
+
+    Decomposes nu = mu + nl (|mu| <= 1/2, same split as ``_kv_positive``),
+    evaluates 1/Gamma(1+mu) by Taylor polynomial, and removes the integer
+    part with the exact recurrence Gamma(z+1) = z Gamma(z):
+    1/Gamma(mu+nl) = inv_gamma1p(mu) / prod_{k=1}^{nl-1}(mu+k), and
+    1/Gamma(mu) = mu * inv_gamma1p(mu) when nl == 0."""
+    nu = jnp.asarray(nu)
+    nl = jnp.floor(nu + 0.5)
+    mu = nu - nl
+    out = inv_gamma1p(mu)
+    out = jnp.where(nl == 0, out * mu, out)
+    denom = jnp.ones_like(out)
+    for k in range(1, _N_RECUR):
+        denom = denom * jnp.where(k <= nl - 1, mu + k, 1.0)
+    return out / denom
+
+
+def lgamma_precise(nu):
+    """log(Gamma(nu)) for 0 < nu <= NU_MAX + 0.5 with ~3e-6 absolute
+    accuracy in f32 on TPU (= -log_precise(inv_gamma(nu))).
+
+    The TPU's lgamma hardware approximation has ~1e-4 absolute error —
+    directly visible as relative error in the Matern prefactor
+    exp((1-nu) ln2 - lgamma(nu) + nu log(a)). f64 falls through to
+    ``jax.lax.lgamma``."""
+    nu = jnp.asarray(nu)
+    if nu.dtype != jnp.float32:
+        return jax.lax.lgamma(nu)
+    return -log_precise(inv_gamma(nu))
+
+
+@jax.custom_jvp
+def log_precise(x):
+    """Natural log with ~1-ulp f32 accuracy on TPU.
+
+    The TPU's f32 ``log`` hardware approximation has absolute error up to
+    1e-4 (measured on v5e over (0, 1]; ~1.3e-5 even near 1). That error,
+    divided by the central-difference step, was the dominant noise in every
+    f32 dK/dnu gradient, and it directly limited Temme-series K_nu values
+    to ~2.5e-3 relative. This routine extracts the exponent/mantissa by
+    int32 bit manipulation and evaluates log(m) by the atanh series on
+    |t| <= 0.172 — pure VPU mul/adds, Mosaic/Pallas-lowerable, measured
+    max abs err 6.1e-8 for x in (0.5, 2) and ~1e-7 relative elsewhere.
+
+    f64 inputs fall through to ``jnp.log`` (accurate on CPU, and the f64
+    path is not TPU-hot). Domain: x > 0 (callers pre-clamp). Subnormal
+    inputs are clamped to the smallest normal (XLA arithmetic flushes
+    subnormals to zero anyway, so they cannot carry meaning here —
+    everything downstream already treats them as exact zeros).
+    """
+    x = jnp.asarray(x)
+    if x.dtype != jnp.float32:
+        return jnp.log(x)
+    xn = jnp.maximum(x, jnp.float32(2.0**-126))
+    xi = jax.lax.bitcast_convert_type(xn, jnp.int32)
+    e = ((xi >> 23) & 0xFF) - 127
+    m = jax.lax.bitcast_convert_type(
+        (xi & 0x007FFFFF) | 0x3F800000, jnp.float32
+    )  # mantissa in [1, 2)
+    big = m > jnp.float32(1.4142135)
+    m = jnp.where(big, jnp.float32(0.5) * m, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    p = 2.0 * t * (
+        1.0 + t2 * (1.0 / 3.0 + t2 * (0.2 + t2 * (1.0 / 7.0 + t2 / 9.0)))
+    )
+    return e * jnp.float32(_LN2) + p
+
+
+@log_precise.defjvp
+def _log_precise_jvp(primals, tangents):
+    # the bit-manipulation body is not AD-traceable (bitcast); the
+    # derivative is exactly 1/x
+    (x,), (dx,) = primals, tangents
+    return log_precise(x), dx / x
+
 #: Largest supported order. Recurrence steps are statically unrolled.
 NU_MAX = 30
 _N_RECUR = NU_MAX  # static unroll count for the order recurrence
@@ -57,9 +164,19 @@ def _gam12(mu):
 
     gam1 = (1/Gamma(1-mu) - 1/Gamma(1+mu)) / (2 mu)   (limit -A1 at mu=0)
     gam2 = (1/Gamma(1-mu) + 1/Gamma(1+mu)) / 2
+
+    f32 uses the Taylor polynomial (TPU's lgamma carries ~1e-4 absolute
+    error; the polynomial is f32-exact). f64 keeps exp(-lgamma) — on CPU
+    (the f64 golden path) libm lgamma is correctly rounded and the
+    polynomial's own truncation (~3e-13) would be the larger error.
     """
-    inv_gp = jnp.exp(-jax.lax.lgamma(1.0 + mu))  # 1/Gamma(1+mu) > 0
-    inv_gm = jnp.exp(-jax.lax.lgamma(1.0 - mu))  # 1/Gamma(1-mu) > 0
+    mu = jnp.asarray(mu)
+    if mu.dtype == jnp.float32:
+        inv_gp = inv_gamma1p(mu)
+        inv_gm = inv_gamma1p(-mu)
+    else:
+        inv_gp = jnp.exp(-jax.lax.lgamma(1.0 + mu))  # 1/Gamma(1+mu) > 0
+        inv_gm = jnp.exp(-jax.lax.lgamma(1.0 - mu))  # 1/Gamma(1-mu) > 0
     gam2 = 0.5 * (inv_gm + inv_gp)
     small = jnp.abs(mu) < 1e-3
     mu_safe = jnp.where(small, 1.0, mu)
@@ -77,7 +194,7 @@ def _temme_series(mu, x, gam_consts=None):
     (they depend only on mu, so the host computes them once per call)."""
     x2 = 0.5 * x
     mu2 = mu * mu
-    d = -jnp.log(x2)
+    d = -log_precise(x2)  # TPU hw log: 1e-4 abs err -> was the top K_nu error
     e = mu * d
     pimu = _PI * mu
 
@@ -209,7 +326,19 @@ def _kv_positive(nu, x):
     nu, x = jnp.broadcast_arrays(nu, x)
     nl = jnp.floor(nu + 0.5)
     mu = nu - nl  # |mu| <= 1/2; d(mu)/d(nu) = 1 a.e.
+    return _kv_from_munl(mu, nl, x)
 
+
+def _kv_from_munl(mu, nl, x):
+    """K_{mu+nl}(x) with the order decomposition supplied by the caller.
+
+    Lets the central-difference rows of ``_kv_jvp`` pin ``nl`` and perturb
+    only ``mu`` (to |mu| <= 0.5 + h, still inside the series'/CF2's
+    domain): both FD evaluations then run the *identical* branch and
+    recurrence depth, so branch-systematic evaluation error cancels in
+    the difference — without this, a half-integer nu puts nu-h and nu+h
+    on different recurrence branches and the FD inherits their error gap.
+    """
     x_lo = jnp.minimum(x, 2.0)  # clamp each branch into its stable domain
     x_hi = jnp.maximum(x, 2.0)
     ks_mu, ks_mu1 = _temme_series(mu, x_lo)
@@ -274,10 +403,15 @@ def _kv_jvp(primals, tangents):
     # evaluates kv to ~1e-10 relative).
     h = jnp.asarray(_FD_H[jnp.dtype(dtype)], dtype)
     x_safe = jnp.where(x > 0.0, x, 1.0)
-    nus = jnp.stack(
-        [nu, jnp.abs(nu - 1.0), nu + 1.0, nu + h, jnp.abs(nu - h)]
-    )
-    ks = _kv_positive(nus, jnp.broadcast_to(x_safe, nus.shape))
+    # decompositions: the three analytic rows use the standard split; the
+    # two FD rows pin nl(nu) and perturb mu only (see _kv_from_munl)
+    nus3 = jnp.stack([nu, jnp.abs(nu - 1.0), nu + 1.0])
+    nl3 = jnp.floor(nus3 + 0.5)
+    nl0 = nl3[0]
+    mu0 = nu - nl0
+    mus = jnp.concatenate([nus3 - nl3, jnp.stack([mu0 + h, mu0 - h])])
+    nls = jnp.concatenate([nl3, jnp.stack([nl0, nl0])])
+    ks = _kv_from_munl(mus, nls, jnp.broadcast_to(x_safe, mus.shape))
     bad = jnp.where(x > 0.0, jnp.nan, jnp.where(x == 0.0, jnp.inf, jnp.nan))
     primal_out = jnp.where(x > 0.0, ks[0], bad)
     dk_dx = -0.5 * (ks[1] + ks[2])

@@ -226,7 +226,7 @@ def _matern_tile(p, h):
 
     _LN2 = 0.6931471805599453  # jnp.log(2.0) makes a weak-f64 scalar;
     # Mosaic cannot lower the resulting f64->f32 truncf inside the kernel
-    log_pref = (1.0 - nu) * _LN2 - lgamma_nu + nu * jnp.log(arg)
+    log_pref = (1.0 - nu) * _LN2 - lgamma_nu + nu * B.log_precise(arg)
     corr = jnp.exp(log_pref) * k_mu
     corr = jnp.where(jnp.isfinite(corr), corr, 0.0)
     corr = jnp.maximum(corr, 0.0)
@@ -264,6 +264,181 @@ def _matern_pallas_call_32(params_smem, h):
     )(params_smem, h)
 
 
+# ---------------------------------------------------------------------------
+# Fused Matern block-gradient kernel
+# ---------------------------------------------------------------------------
+#
+# The analytic-NLL backward needs, per covariance block C = scale*M + nugget
+# at h==0, only four SCALARS: sum(ct*M), sum(ct[h==0]), scale*sum(ct*dM/dnu),
+# scale*sum(ct*dM/dls). The XLA chunked VJP evaluates the stacked 5-row K_nu
+# through HBM-carried fixed-point loops (~30 s of the 56 s n=25k NLL eval);
+# this kernel runs the identical recurrences tile-by-tile in VMEM and
+# contracts with the cotangent in place, so the only HBM traffic is one read
+# of h and ct. Derivative formulas mirror kernels/bessel.py's custom JVP
+# exactly: dK/dx = -(K_{nu-1}+K_{nu+1})/2 analytic, dK/dnu central FD.
+
+GM = 128  # grad-kernel rows per tile (5 sequential K evals -> small tiles)
+GN = 256
+
+_LN2 = 0.6931471805599453
+
+
+def _kv_tile(mu, nl, gam_consts, x):
+    """K_{mu+nl}(x) on one tile: Temme series / Steed CF2 + order
+    recurrence, all loop carries VMEM-resident. mu/nl/gam_consts are
+    scalars from SMEM."""
+    from cokriging_tpu.kernels import bessel as B
+
+    x_lo = jnp.minimum(x, 2.0)
+    x_hi = jnp.maximum(x, 2.0)
+    ks_mu, ks_mu1 = B._temme_series(mu, x_lo, gam_consts=gam_consts)
+    kc_mu, kc_mu1 = B._steed_cf2(mu, x_hi)
+    use_series = x < 2.0
+    k_mu = jnp.where(use_series, ks_mu, kc_mu)
+    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
+    two_over_x = 2.0 / x
+    for i in range(1, B.NU_MAX + 1):
+        step = i <= nl
+        k_next = (mu + i) * two_over_x * k_mu1 + k_mu
+        k_mu = jnp.where(step, k_mu1, k_mu)
+        k_mu1 = jnp.where(step, k_next, k_mu1)
+    return k_mu
+
+
+def _matern_grad_kernel(params_ref, h_ref, ct_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p = params_ref
+    nu, ls, scale = p[0], p[1], p[2]
+    lgam, digam, fd = p[3], p[4], p[5]
+
+    h = h_ref[:]
+    ct = ct_ref[:]
+    pos = h > 0.0
+    hs = jnp.where(pos, h, 1.0) / ls
+    a = jnp.sqrt(2.0 * nu) * hs
+
+    # rows: K_nu | K_{|nu-1|} | K_{nu+1} | K_{nu+fd} | K_{|nu-fd|}
+    # (kernels/bessel.py:_kv_jvp) — evaluated sequentially per tile
+    ks = [
+        _kv_tile(p[6 + o], p[11 + o],
+                 (p[16 + 4 * o], p[17 + 4 * o], p[18 + 4 * o], p[19 + 4 * o]),
+                 a)
+        for o in range(5)
+    ]
+
+    from cokriging_tpu.kernels import bessel as B
+
+    log_a = B.log_precise(a)
+    lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
+    elp = jnp.exp(lp)
+    m = elp * ks[0]
+    finite = jnp.isfinite(m)
+    ok = finite & (m > 0.0) & pos
+    m_val = jnp.where(
+        pos, jnp.where(finite, jnp.maximum(m, 0.0), 0.0), 1.0
+    )
+
+    dk_dx = -0.5 * (ks[1] + ks[2])
+    dk_dnu = (ks[3] - ks[4]) / (2.0 * fd)
+    da_dnu = a / (2.0 * nu)
+    da_dls = -a / ls
+    dlp_dnu = -_LN2 - digam + log_a + 0.5
+    dm_dnu = m * dlp_dnu + elp * (dk_dnu + dk_dx * da_dnu)
+    dm_dls = m * (-nu / ls) + elp * dk_dx * da_dls
+
+    zero = jnp.zeros_like(ct)
+    vals = jnp.stack(
+        [
+            jnp.sum(ct * m_val),
+            jnp.sum(jnp.where(h == 0.0, ct, zero)),
+            scale
+            * jnp.sum(jnp.where(ok & jnp.isfinite(dm_dnu), ct * dm_dnu, zero)),
+            scale
+            * jnp.sum(jnp.where(ok & jnp.isfinite(dm_dls), ct * dm_dls, zero)),
+        ]
+    )
+    out_ref[:] += vals.reshape(1, 4)
+
+
+def _matern_grad_call(params, h, ct):
+    with jax.enable_x64(False):
+        return _matern_grad_call_32(params, h, ct)
+
+
+@jax.jit
+def _matern_grad_call_32(params, h, ct):
+    n, m = h.shape
+    grid = (n // GM, m // GN)
+    return pl.pallas_call(
+        _matern_grad_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (36,)
+            pl.BlockSpec((GM, GN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GM, GN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 4), h.dtype),
+    )(params, h, ct)
+
+
+def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct):
+    """Fused backward of one covariance block C = scale*M(nu,ls,h) [+
+    nugget at h==0] against cotangent ct.
+
+    Returns (g_scale, g_nugget, g_nu, g_ls) — the four scalar cotangents;
+    the h cotangent is identically zero by construction (distances are
+    data). f32 / TPU only; padding handled here (ct pads with 0 so padded
+    lanes contribute nothing).
+    """
+    h = jnp.asarray(h)
+    ct = jnp.asarray(ct)
+    dt = h.dtype
+    from cokriging_tpu.kernels import bessel as B
+
+    nu_s = jnp.abs(jnp.asarray(nu, dt))
+    fd = jnp.asarray(B._FD_H[jnp.dtype(dt)], dt)
+    # FD rows pin nl(nu) and perturb mu only, mirroring bessel._kv_jvp
+    # (keeps both central-difference evaluations on one recurrence branch)
+    nl0 = jnp.floor(nu_s + 0.5)
+    mu0 = nu_s - nl0
+    analytic = [nu_s, jnp.abs(nu_s - 1.0), nu_s + 1.0]
+    mus, nls = [], []
+    for o in analytic:
+        nl = jnp.floor(o + 0.5)
+        nls.append(nl)
+        mus.append(o - nl)
+    mus += [mu0 + fd, mu0 - fd]
+    nls += [nl0, nl0]
+    gams = []
+    for mu in mus:
+        gams.extend(B._gam12(mu))
+    params = jnp.stack(
+        [
+            nu_s, jnp.asarray(ls, dt), jnp.asarray(scale, dt),
+            B.lgamma_precise(nu_s), jax.lax.digamma(nu_s), fd,
+            *mus, *nls, *gams,
+        ]
+    ).astype(dt)
+
+    n, m = h.shape
+    pad_n = (-n) % GM
+    pad_m = (-m) % GN
+    if pad_n or pad_m:
+        h = jnp.pad(h, ((0, pad_n), (0, pad_m)), constant_values=1.0)
+        ct = jnp.pad(ct, ((0, pad_n), (0, pad_m)))
+    out = _matern_grad_call(params, h, ct)
+    return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+
+
 def matern_correlation_pallas(nu, len_scale, h):
     """Fused VMEM-resident Matern correlation over a distance matrix.
 
@@ -281,7 +456,7 @@ def matern_correlation_pallas(nu, len_scale, h):
         h = jnp.pad(h, ((0, pad_n), (0, pad_m)))
     # scalar constants outside the kernel (lgamma is not lowerable inside
     # Pallas); plain jnp ops, so nu/len_scale may be traced values
-    from cokriging_tpu.kernels.bessel import _gam12
+    from cokriging_tpu.kernels.bessel import _gam12, lgamma_precise
 
     nu_s = jnp.asarray(nu, h.dtype)
     nl = jnp.floor(nu_s + 0.5)
@@ -290,7 +465,7 @@ def matern_correlation_pallas(nu, len_scale, h):
     params = jnp.stack(
         [nu_s, jnp.asarray(len_scale, h.dtype), mu, nl,
          gam1, gam2, inv_gp, inv_gm,
-         jax.lax.lgamma(nu_s)]
+         lgamma_precise(nu_s)]
     ).astype(h.dtype)
     out = _matern_pallas_call(params, h)
     out = out[:n, :m]

@@ -16,7 +16,33 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU (remote) compiles of the blocked
 # pairwise programs run minutes cold; cache them across processes.
-_cache_dir = os.environ.get("COKRIGING_TPU_CACHE", "/root/repo/.jax_cache")
+#
+# The cache key does NOT capture the host CPU's target features, but CPU
+# executables are AOT-compiled for them — entries written on one machine
+# can SIGILL/segfault on another (observed: avx512/amx artifacts from a
+# prior host crashing pjit calls here). Segregate the cache by a
+# fingerprint of the local CPU flags so a machine swap starts clean.
+_cache_root = os.environ.get("COKRIGING_TPU_CACHE", "/root/repo/.jax_cache")
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(_cache_root, _cpu_fingerprint())
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

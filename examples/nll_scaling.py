@@ -41,7 +41,11 @@ def main():
     rng = np.random.default_rng(0)
 
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}")
-    for n_per in [2500, 5000]:
+    # TPU carries the full n~25k north star (6.4 s/eval measured — fused
+    # Pallas forward/backward Matern kernels + analytic dC VJP); CPU f64
+    # stays small (the XLA chunked backward is the golden path there)
+    sizes = [2500, 5000, 12500] if jax.default_backend() == "tpu" else [2500, 5000]
+    for n_per in sizes:
         coords = [
             jnp.asarray(rng.uniform(0, 1, size=(n_per, 2)), dtype)
             for _ in range(2)

@@ -20,6 +20,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_executables_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite process otherwise accumulates every jitted program's
+    executable mappings and crosses the kernel's ``vm.max_map_count``
+    (65530 default): measured ~65k maps at ~80% of the suite, at which
+    point mmap fails inside LLVM and the process segfaults
+    (deterministically, mid-compile). Re-jits within a later module
+    reload from the persistent compilation cache, so the cost is small.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

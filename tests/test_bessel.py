@@ -82,3 +82,52 @@ def test_kv_exact_grad_matches_scipy_fd():
         fd_x = (sps.kv(nu, x + h) - sps.kv(nu, x - h)) / (2 * h)
         np.testing.assert_allclose(g_nu, fd_nu, rtol=1e-6)
         np.testing.assert_allclose(g_x, fd_x, rtol=1e-6)
+
+
+def test_log_precise_matches_f64_log():
+    """Bit-manipulation f32 log (kernels.bessel.log_precise): the TPU's
+    hardware log approximation has ~1e-4 absolute error, this one ~1 ulp.
+    On CPU both are accurate — the test pins semantics (values, grad,
+    subnormals, f64 passthrough); the TPU win is measured in DESIGN.md."""
+    from cokriging_tpu.kernels.bessel import log_precise
+
+    x = np.concatenate(
+        [np.linspace(1e-4, 40.0, 5001), np.geomspace(1.2e-38, 1e-4, 500)]
+    ).astype(np.float32)
+    got = np.asarray(log_precise(jnp.asarray(x))).astype(np.float64)
+    want = np.log(x.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-5
+    # subnormals clamp to the smallest normal (XLA flushes them to zero
+    # in arithmetic, so they carry no information anyway)
+    v = float(log_precise(jnp.float32(1e-40)))
+    np.testing.assert_allclose(v, np.log(2.0**-126), rtol=1e-6)
+    # near 1 (small |log|): absolute accuracy at f32 roundoff
+    near = np.abs(x - 1.0) < 0.45
+    assert np.abs(got - want)[near].max() < 1.5e-7
+    # custom JVP: d/dx = 1/x exactly
+    g = float(jax.grad(lambda v: log_precise(v))(jnp.float32(2.7)))
+    np.testing.assert_allclose(g, 1.0 / 2.7, rtol=1e-6)
+    # f64 passthrough
+    v = float(log_precise(jnp.float64(2.7)))
+    np.testing.assert_allclose(v, np.log(2.7), rtol=1e-15)
+
+
+def test_inv_gamma_and_lgamma_precise():
+    from cokriging_tpu.kernels.bessel import inv_gamma, inv_gamma1p, lgamma_precise
+
+    z = np.linspace(-0.502, 0.502, 2001).astype(np.float32)
+    got = np.asarray(inv_gamma1p(jnp.asarray(z)))
+    want = 1.0 / sps.gamma(1.0 + z.astype(np.float64))
+    assert np.abs(got - want).max() < 1.2e-7
+
+    nu = np.linspace(0.21, 29.9, 997).astype(np.float32)
+    got = np.asarray(inv_gamma(jnp.asarray(nu)))
+    want = 1.0 / sps.gamma(nu.astype(np.float64))
+    assert np.abs((got - want) / want).max() < 5e-6
+
+    got = np.asarray(lgamma_precise(jnp.asarray(nu)))
+    want = sps.gammaln(nu.astype(np.float64))
+    assert np.abs(got - want).max() < 2e-5
+    # f64 passthrough
+    v = float(lgamma_precise(jnp.float64(3.3)))
+    np.testing.assert_allclose(v, sps.gammaln(3.3), rtol=1e-14)

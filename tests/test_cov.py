@@ -182,7 +182,10 @@ def test_matern_correlation_h_grad_false_matches():
         lambda p: jnp.sum(ct * M._matern_corr_raw(p[0], p[1], h))
     )(p0)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8)
+    # 5e-8: the two paths sum identical per-element contributions in
+    # different orders (45-element scan chunks vs one fused reduction);
+    # f64 accumulation-order noise on the nu component sits at ~2e-8
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-8)
     assert np.all(np.asarray(gh) == 0.0)
 
 

@@ -74,8 +74,10 @@ def test_nll_analytic_grad_matches_ad(sim_mf):
     flat = jnp.asarray(np.array(SIM_FLAT))
 
     for mv in (None, mvar):
+        # analytic_grad pinned on both sides: the default is a static
+        # size gate (n <= 4096 -> plain AD) and this problem is small
         v_an, g_an = jax.value_and_grad(neg_log_likelihood)(
-            flat, dists, z, spec, mv, 1e-8
+            flat, dists, z, spec, mv, 1e-8, analytic_grad=True
         )
         v_ad, g_ad = jax.value_and_grad(neg_log_likelihood)(
             flat, dists, z, spec, mv, 1e-8, analytic_grad=False
@@ -85,9 +87,12 @@ def test_nll_analytic_grad_matches_ad(sim_mf):
             np.asarray(g_an), np.asarray(g_ad), rtol=1e-7, atol=1e-10
         )
 
-    # at a non-PD (penalty) parameter point both paths return zero grads
+    # at a non-PD (penalty) parameter point the analytic path returns
+    # exactly zero grads (the AD path needs _clean_grad for its NaNs)
     bad_flat = flat.at[10].set(1.0).at[8].set(0.0).at[9].set(0.0)
-    g_bad = jax.grad(neg_log_likelihood)(bad_flat, dists, z, spec, None, 0.0)
+    g_bad = jax.grad(neg_log_likelihood)(
+        bad_flat, dists, z, spec, None, 0.0, analytic_grad=True
+    )
     assert np.allclose(np.asarray(g_bad), 0.0)
 
 

@@ -85,3 +85,45 @@ def test_block_covariance_pallas_matches_xla(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
     # symmetric with nugget on the diagonal
     np.testing.assert_allclose(got, got.T, atol=1e-6)
+
+
+def test_matern_block_grad_pallas_matches_ad(rng, monkeypatch):
+    """Fused block-gradient kernel (the n~25k NLL backward) vs plain AD
+    through the raw scaled-Matern block — all four scalar cotangents, in
+    interpret mode with shrunken tiles so the sequential-grid accumulation
+    path is exercised."""
+    import jax
+    import jax.numpy as jnp
+
+    import cokriging_tpu.cov.matern as M
+
+    monkeypatch.setattr(P, "GM", 8)
+    monkeypatch.setattr(P, "GN", 128)
+    n, m = 17, 140  # ragged -> padding; grid (3, 2)
+    h = np.abs(rng.normal(size=(n, m))).astype(np.float32) * 600.0
+    h[0, 0] = 0.0
+    ct = rng.normal(size=(n, m)).astype(np.float32)
+    h_j, ct_j = jnp.asarray(h), jnp.asarray(ct)
+
+    def loss(p):
+        return jnp.sum(
+            ct_j * M._scaled_matern_raw(p[0], p[1], p[2], p[3], h_j)
+        )
+
+    for nuv in (1.37, 0.3, 2.6):
+        p0 = jnp.asarray([1.7, 0.05, nuv, 450.0], jnp.float32)
+        want = np.asarray(jax.grad(loss)(p0))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                [
+                    float(x)
+                    for x in P.matern_block_grad_pallas(
+                        p0[0], p0[1], p0[2], p0[3], h_j, ct_j
+                    )
+                ]
+            )
+        # 2e-2: the nu component of BOTH paths is an f32 central
+        # difference whose noise band is ~7e-3 of the true value
+        # (measured vs f64 scipy on TPU, DESIGN.md §6); the two paths
+        # round differently, so their gap can reach twice that
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-4)
