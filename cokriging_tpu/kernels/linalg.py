@@ -74,3 +74,129 @@ def spd_inverse_from_chol(chol, block: int = 512):
     triangular-solve expander — see tri_inv_lower)."""
     linv = tri_inv_lower(chol, block=block)
     return linv.T @ linv
+
+
+# ---------------------------------------------------------------------------
+# Small-matrix blocked SPD solve (vmap-friendly), for batched local kriging
+# systems. XLA's batched cholesky + triangular-solve on a (6256, 160, 160)
+# f32 batch measured ~360 ms on a v5e chip (~25 GFLOP/s); this blocked
+# formulation keeps the bulk of the flops in MXU einsums and the sequential
+# base cases as short Python-unrolled vector recurrences, ~10x faster.
+# ---------------------------------------------------------------------------
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _chol_base(S):
+    """Unrolled outer-product Cholesky of one (m, m) SPD block (m small,
+    e.g. 32). NaN-propagating on non-PD input (sqrt of a negative pivot),
+    matching jnp.linalg.cholesky's failure semantics. vmap-safe."""
+    m = S.shape[-1]
+    idx = jnp.arange(m)
+    cols = []
+    for j in range(m):
+        col = S[..., :, j]
+        piv = jnp.sqrt(col[..., j])
+        colL = jnp.where(idx >= j, col / piv[..., None], 0.0)
+        cols.append(colL)
+        S = S - colL[..., :, None] * colL[..., None, :]
+    return jnp.stack(cols, axis=-1)
+
+
+def _tri_inv_base(L):
+    """Unrolled inverse of one small (m, m) lower-triangular block by
+    row-wise Gauss elimination. vmap-safe."""
+    m = L.shape[-1]
+    idx = jnp.arange(m)
+    X = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
+    for j in range(m):
+        xj = X[..., j, :] / L[..., j, j][..., None]
+        X = jnp.where((idx == j)[:, None], xj[..., None, :], X)
+        below = (idx > j)[:, None]
+        X = X - jnp.where(below, L[..., :, j][..., None] * xj[..., None, :], 0.0)
+    return X
+
+
+def blocked_spd_solve(A, c, block: int = 32):
+    """Solve the SPD system A x = c and report factorization health.
+
+    Blocked right-looking Cholesky: per block-column, an unrolled
+    ``_chol_base`` factors the diagonal block, its ``_tri_inv_base``
+    inverse turns the panel solve and the forward/backward substitution
+    into (rem, b) x (b, b) einsums, and the trailing Schur update is one
+    MXU matmul per step (``Precision.HIGHEST`` — the default f32 path
+    rides the MXU's bf16 rounding, which corrupts covariance diagonals).
+    Designed to be called under ``jax.vmap`` over a batch of independent
+    local systems; every op is batch-dim agnostic.
+
+    Args:
+        A: (k, k) SPD matrix (e.g. a masked local covariance with identity
+            padding lanes).
+        c: (k,) right-hand side.
+        block: base-case size (k is padded to a multiple internally).
+
+    Returns:
+        (x, chol_diag): the solution and the diagonal of the Cholesky
+        factor (NaN entries signal a non-PD system, the reference's
+        LinAlgError -> NaN path, src/point_prediction.py:218-222).
+    """
+    k = A.shape[-1]
+    pad = (-k) % block
+    if pad:
+        eye_tail = (jnp.arange(k + pad) >= k).astype(A.dtype)
+        A = jnp.pad(A, ((0, pad), (0, pad))) + jnp.diag(eye_tail)
+        c = jnp.pad(c, (0, pad))
+    kp = k + pad
+    nb = kp // block
+
+    # --- factorization: row-block lists L[r][cb] for cb <= r ---
+    panels = [[None] * nb for _ in range(nb)]
+    diag_inv = [None] * nb
+    diag_ch = [None] * nb
+    S = A
+    for kb in range(nb):
+        b = block
+        Dk = S[..., :b, :b]
+        Lkk = _chol_base(Dk)
+        Ikk = _tri_inv_base(Lkk)
+        diag_ch[kb] = Lkk
+        diag_inv[kb] = Ikk
+        panels[kb][kb] = Lkk
+        if kb + 1 < nb:
+            P = S[..., b:, :b]
+            Lik = jnp.einsum("...ij,...kj->...ik", P, Ikk, precision=_HIGHEST)
+            S = S[..., b:, b:] - jnp.einsum(
+                "...ij,...kj->...ik", Lik, Lik, precision=_HIGHEST
+            )
+            for r in range(kb + 1, nb):
+                panels[r][kb] = Lik[..., (r - kb - 1) * b : (r - kb) * b, :]
+
+    # --- forward substitution: L y = c ---
+    ys = []
+    for r in range(nb):
+        rhs = c[..., r * block : (r + 1) * block]
+        for j in range(r):
+            rhs = rhs - jnp.einsum(
+                "...ij,...j->...i", panels[r][j], ys[j], precision=_HIGHEST
+            )
+        ys.append(
+            jnp.einsum("...ij,...j->...i", diag_inv[r], rhs, precision=_HIGHEST)
+        )
+
+    # --- backward substitution: L^T x = y ---
+    xs = [None] * nb
+    for r in range(nb - 1, -1, -1):
+        rhs = ys[r]
+        for j in range(r + 1, nb):
+            rhs = rhs - jnp.einsum(
+                "...ji,...j->...i", panels[j][r], xs[j], precision=_HIGHEST
+            )
+        xs[r] = jnp.einsum(
+            "...ji,...j->...i", diag_inv[r], rhs, precision=_HIGHEST
+        )
+
+    x = jnp.concatenate(xs, axis=-1)[..., :k]
+    chol_diag = jnp.concatenate(
+        [jnp.diagonal(d, axis1=-2, axis2=-1) for d in diag_ch], axis=-1
+    )[..., :k]
+    return x, chol_diag
