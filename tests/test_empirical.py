@@ -106,6 +106,49 @@ def test_euclidean_path(rng):
     np.testing.assert_allclose(means, om, rtol=1e-9, equal_nan=True)
 
 
+def test_all_pairs_device_program_matches_oracle(latlon_fields):
+    """The fused one-dispatch program (empirical_variograms_device) must
+    reproduce the pandas oracle bit-for-bin on every (i, j) pair, including
+    the h-surrogate comparisons and on-device bin construction."""
+    from cokriging_tpu.estimate.empirical import empirical_variograms_device
+
+    c1, v1, c2, v2 = latlon_fields
+    cfg = VarioConfig(max_dist=1800.0, n_bins=11)
+    pairs, centers, means, counts = empirical_variograms_device(
+        [c1, c2], [v1, v2], cfg
+    )
+    assert pairs == [(0, 0), (0, 1), (1, 1)]
+    data = {0: (c1, v1), 1: (c2, v2)}
+    for k, (i, j) in enumerate(pairs):
+        ca, va = data[i]
+        cb, vb = data[j]
+        oc, om, on = _oracle_pair(ca, va, cb, vb, i == j, True, 1800.0, 11)
+        np.testing.assert_allclose(centers[k], oc, rtol=1e-9)
+        np.testing.assert_allclose(counts[k], on)
+        np.testing.assert_allclose(means[k], om, rtol=1e-8, equal_nan=True)
+
+
+def test_all_pairs_device_program_euclidean(rng):
+    from cokriging_tpu.estimate.empirical import empirical_variograms_device
+
+    n1, n2 = 75, 50
+    c1 = rng.uniform(0, 1, size=(n1, 2))
+    c2 = rng.uniform(0, 1, size=(n2, 2))
+    v1, v2 = rng.normal(size=n1), rng.normal(size=n2)
+    cfg = VarioConfig(max_dist=0.9, n_bins=7, geodesic=False)
+    pairs, centers, means, counts = empirical_variograms_device(
+        [c1, c2], [v1, v2], cfg
+    )
+    data = {0: (c1, v1), 1: (c2, v2)}
+    for k, (i, j) in enumerate(pairs):
+        ca, va = data[i]
+        cb, vb = data[j]
+        oc, om, on = _oracle_pair(ca, va, cb, vb, i == j, False, 0.9, 7)
+        np.testing.assert_allclose(centers[k], oc, rtol=1e-9)
+        np.testing.assert_allclose(counts[k], on)
+        np.testing.assert_allclose(means[k], om, rtol=1e-8, equal_nan=True)
+
+
 def test_multifield_variograms(rng):
     n = 60
     c = rng.uniform(0, 1, size=(n, 2))
