@@ -54,6 +54,111 @@ def rw_to_classic_len_scale(len_scale, nu):
     return len_scale / jnp.sqrt(2.0 * nu)
 
 
+def _log_spectral_density_unit(w, nu, len_scale, d):
+    """log of the unit-variance Matern spectral density (stable for the
+    validity-bound ratios, where the densities under/overflow)."""
+    log_c = (
+        d * jnp.log(2.0)
+        + 0.5 * d * jnp.log(jnp.pi)
+        + jax.lax.lgamma(nu + 0.5 * d)
+        + nu * jnp.log(2.0 * nu)
+        - jax.lax.lgamma(nu)
+        - 2.0 * nu * jnp.log(len_scale)
+    )
+    base = 2.0 * nu / len_scale**2 + 4.0 * jnp.pi**2 * w**2
+    return log_c - (nu + 0.5 * d) * jnp.log(base)
+
+
+def rho_max(nu1, l1, nu2, l2, nu12, l12, d=2, n_freq=2048):
+    r"""Exact validity bound on |rho| for the full bivariate Matern.
+
+    Gneiting, Kleiber & Schlather (2010), Thm 3: the model is a valid
+    (positive-definite) bivariate covariance iff
+
+        rho^2 * S12(w)^2 <= S11(w) * S22(w)   for all frequencies w,
+
+    with S_ij the unit-variance Matern spectral densities at (nu_ij,
+    ell_ij) — the sigmas cancel. This evaluates the infimum of
+    sqrt(S11 S22) / S12 on a wide log frequency grid (plus the exact
+    w -> 0 and w -> infinity limits) in log space.
+
+    The w -> infinity tail behaves like w^{2(2 nu12 - nu1 - nu2)}: if
+    nu12 < (nu1 + nu2) / 2 the infimum is 0 (no rho != 0 is valid) —
+    the smoothness condition the reference's TODO stub never checked
+    (src/model.py:172, 336-343).
+
+    Returns the bound clipped to [0, 1].
+    """
+    nu1, l1, nu2, l2, nu12, l12 = (
+        jnp.asarray(v, jnp.result_type(float))
+        for v in (nu1, l1, nu2, l2, nu12, l12)
+    )
+    l_ref = jnp.minimum(jnp.minimum(l1, l2), l12)
+    w = jnp.concatenate(
+        [jnp.zeros((1,)), jnp.logspace(-8.0, 8.0, n_freq) / l_ref]
+    )
+    log_ratio = (
+        _log_spectral_density_unit(w, nu1, l1, d)
+        + _log_spectral_density_unit(w, nu2, l2, d)
+        - 2.0 * _log_spectral_density_unit(w, nu12, l12, d)
+    )
+    min_log = jnp.min(log_ratio)
+    # exact w -> infinity limit: exponent 2 (2 nu12 - nu1 - nu2) on w^2.
+    # Tolerance, not a strict < 0: nu12 == (nu1 + nu2) / 2 must not flip to
+    # -inf on f64 rounding (the parsimonious case lands exactly on it).
+    tail_exp = 2.0 * nu12 - nu1 - nu2
+    min_log = jnp.where(tail_exp < -1e-9, -jnp.inf, min_log)
+    return jnp.clip(jnp.exp(0.5 * min_log), 0.0, 1.0)
+
+
+def params_rho_max(params, i: int, j: int, d=2):
+    """Validity bound for the (i, j) pair of a MaternParams pytree."""
+    return rho_max(
+        params.nu[i, i],
+        params.len_scale[i, i],
+        params.nu[j, j],
+        params.len_scale[j, j],
+        params.nu[i, j],
+        params.len_scale[i, j],
+        d=d,
+    )
+
+
+def project_to_valid(params, margin: float = 0.99, d=2, lift_nu: bool = True):
+    """Project a fitted MaternParams onto the spectral validity region.
+
+    Two moves, both preserving the marginal structure exactly:
+
+    1. if ``lift_nu`` and a cross-smoothness sits below the Gneiting floor
+       nu_ij < (nu_ii + nu_jj) / 2 — where NO nonzero rho is valid, so the
+       exact bound is 0 — raise it to the floor (the parsimonious-model
+       choice, Gneiting et al. 2010 §3), which guarantees a strictly
+       positive bound;
+    2. clip every cross-correlation to +/- margin * rho_max (its exact
+       spectral validity bound).
+
+    The reference warns and lets the prediction go NaN when a fitted model
+    is non-PD at the data locations (src/joint_prediction.py:60-66);
+    projecting the WLS fit instead guarantees a usable joint covariance.
+    """
+    p = params.n_procs
+    nu = params.nu
+    if lift_nu:
+        for i in range(p):
+            for j in range(i + 1, p):
+                floor = 0.5 * (params.nu[i, i] + params.nu[j, j])
+                v = jnp.maximum(params.nu[i, j], floor)
+                nu = nu.at[i, j].set(v).at[j, i].set(v)
+        params = params.replace(nu=nu)
+    rho = params.rho
+    for i in range(p):
+        for j in range(i + 1, p):
+            bound = margin * params_rho_max(params, i, j, d=d)
+            r = jnp.clip(params.rho[i, j], -bound, bound)
+            rho = rho.at[i, j].set(r).at[j, i].set(r)
+    return params.replace(rho=rho)
+
+
 def spectral_correlation_roundtrip(nu, len_scale, h, n_freq=4096, w_max=None, d=1):
     """Numerically invert the 1-d spectral density back to a correlation
     and evaluate it at lags h — the self-consistency check mirroring the

@@ -237,6 +237,7 @@ def fit_wls(
     maxiter: int = 500,
     validity_weight: float = 0.0,
     theoretical: bool = True,
+    project_validity: bool = False,
 ) -> Tuple[MaternParams, FitResult]:
     """Fit Matern parameters to an EmpiricalVariogram by composite WLS.
 
@@ -244,7 +245,10 @@ def fit_wls(
     the default (or supplied) initial values under the spec's box bounds,
     warning on non-convergence. ``theoretical=False`` skips building the
     100-point theoretical-curve frame (a host-side convenience the hot
-    path doesn't need).
+    path doesn't need). ``project_validity=True`` projects the optimum
+    onto the exact spectral validity region (cov.spectral.project_to_valid
+    — lifts cross-smoothness to the Gneiting floor and clips rho to its
+    rho_max bound), guaranteeing a PD joint covariance for prediction.
     """
     spec = (init or MaternParams.default(estimate.config.n_procs)).spec
     if spec.n_procs != estimate.config.n_procs:
@@ -294,6 +298,11 @@ def fit_wls(
         success = bool(np.isfinite(cost))
     else:
         raise ValueError(f"Unknown method {method!r}")
+
+    if project_validity:
+        from cokriging_tpu.cov.spectral import project_to_valid
+
+        params = project_to_valid(params)
 
     result = FitResult(
         params=params,

@@ -49,3 +49,79 @@ def test_parameterization_roundtrip():
     np.testing.assert_allclose(
         np.asarray(matern_correlation(nu, ell, h)), classic_corr, rtol=1e-10
     )
+
+
+def test_rho_max_validity_bound():
+    """Gneiting Thm-3 spectral bound: 1 for identical structures, 0 when
+    the cross-smoothness condition fails, and empirically tight — the
+    joint covariance is PD just inside the bound and indefinite above it."""
+    from cokriging_tpu.cov.spectral import rho_max, project_to_valid
+    from cokriging_tpu.cov.params import MaternParams
+    from cokriging_tpu.cov.matern import block_covariance
+    from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+    assert float(rho_max(1.5, 500.0, 1.5, 500.0, 1.5, 500.0)) == 1.0
+    # nu12 < (nu1 + nu2) / 2 -> no nonzero rho is valid
+    assert float(rho_max(1.5, 500.0, 2.5, 500.0, 1.5, 500.0)) == 0.0
+
+    rng = np.random.default_rng(0)
+    coords = [rng.uniform(0, 2000, size=(80, 2)) for _ in range(2)]
+    dists = joint_distance_blocks(
+        [jnp.asarray(c) for c in coords], geodesic=False
+    )
+
+    def with_rho(rho_val, nu12, l12):
+        p = MaternParams.default(2)
+        nu = p.nu.at[0, 0].set(0.6).at[1, 1].set(1.8)
+        nu = nu.at[0, 1].set(nu12).at[1, 0].set(nu12)
+        ls = p.len_scale.at[0, 0].set(300.0).at[1, 1].set(600.0)
+        ls = ls.at[0, 1].set(l12).at[1, 0].set(l12)
+        rho = p.rho.at[0, 1].set(rho_val).at[1, 0].set(rho_val)
+        return p.replace(nu=nu, len_scale=ls, rho=rho)
+
+    for nu12, l12 in ((1.3, 400.0), (1.5, 450.0), (2.0, 500.0)):
+        b = float(rho_max(0.6, 300.0, 1.8, 600.0, nu12, l12))
+        assert 0.0 < b < 1.0
+        inside = with_rho(0.95 * b, nu12, l12)
+        outside = with_rho(min(1.0, 1.25 * b), nu12, l12)
+        e_in = np.linalg.eigvalsh(np.asarray(block_covariance(inside, dists))).min()
+        e_out = np.linalg.eigvalsh(np.asarray(block_covariance(outside, dists))).min()
+        assert e_in > -1e-10, (nu12, l12, e_in)
+        assert e_out < -1e-3, (nu12, l12, e_out)
+
+        # projection pulls an invalid rho inside the bound; eigs recover
+        proj = project_to_valid(outside)
+        r = float(np.asarray(proj.rho[0, 1]))
+        assert abs(r) <= b
+        e_proj = np.linalg.eigvalsh(np.asarray(block_covariance(proj, dists))).min()
+        assert e_proj > -1e-10
+
+
+def test_project_to_valid_lifts_cross_smoothness():
+    """nu12 below the Gneiting floor has bound 0; the projection lifts it
+    to (nu1 + nu2) / 2 and the projected model is PD with nonzero rho."""
+    from cokriging_tpu.cov.spectral import project_to_valid, params_rho_max
+    from cokriging_tpu.cov.params import MaternParams
+    from cokriging_tpu.cov.matern import block_covariance
+    from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+    p = MaternParams.default(2)
+    nu = p.nu.at[0, 0].set(0.6).at[1, 1].set(1.8).at[0, 1].set(1.0).at[1, 0].set(1.0)
+    ls = p.len_scale.at[0, 0].set(300.0).at[1, 1].set(600.0)
+    ls = ls.at[0, 1].set(400.0).at[1, 0].set(400.0)
+    rho = p.rho.at[0, 1].set(-0.7).at[1, 0].set(-0.7)
+    p = p.replace(nu=nu, len_scale=ls, rho=rho)
+    assert float(params_rho_max(p, 0, 1)) == 0.0
+
+    proj = project_to_valid(p)
+    assert float(np.asarray(proj.nu[0, 1])) == 1.2
+    r = float(np.asarray(proj.rho[0, 1]))
+    assert r < -0.2  # meaningful cross-structure survives
+
+    rng = np.random.default_rng(1)
+    coords = [rng.uniform(0, 2000, size=(70, 2)) for _ in range(2)]
+    dists = joint_distance_blocks(
+        [jnp.asarray(c) for c in coords], geodesic=False
+    )
+    e = np.linalg.eigvalsh(np.asarray(block_covariance(proj, dists))).min()
+    assert e > -1e-10

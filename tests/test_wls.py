@@ -101,3 +101,20 @@ def test_moment_init_near_truth():
     np.testing.assert_allclose(got[8:10], TRUE_FLAT[8:10], atol=0.01)
     assert abs(got[10] - TRUE_FLAT[10]) < 0.1
     np.testing.assert_allclose(got[5:8], TRUE_FLAT[5:8], rtol=0.3)
+
+
+def test_fit_project_validity_flag():
+    """fit_wls(project_validity=True) returns parameters inside the exact
+    spectral validity region even when the unconstrained optimum is not."""
+    from cokriging_tpu.cov.spectral import params_rho_max
+
+    # truth with an INVALID cross-structure: nu12 below the Gneiting floor
+    bad = TRUE_FLAT.copy()
+    bad[4] = 0.8  # nu12 < (1.4 + 1.3) / 2
+    bad[10] = -0.9
+    est = _synthetic_estimate(flat=bad)
+    params, _ = fit_wls(est, project_validity=True)
+    nu = np.asarray(params.nu)
+    assert nu[0, 1] >= 0.5 * (nu[0, 0] + nu[1, 1]) - 1e-9
+    bound = float(params_rho_max(params, 0, 1))
+    assert abs(float(np.asarray(params.rho[0, 1]))) <= bound + 1e-9
