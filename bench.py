@@ -25,15 +25,24 @@ warnings.filterwarnings("ignore")
 
 VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 
-# The axon remote-compile service occasionally loses a compile RPC and the
-# process waits forever. A watchdog re-execs the benchmark once if any
-# stage stalls; a second stall aborts loudly.
+# The axon TPU tunnel has two distinct failure modes: the remote-compile
+# service loses an RPC mid-stage (process waits forever on a compile), and
+# the tunnel itself wedges so even the first tiny device op hangs. Both
+# recover on their own after minutes. A watchdog re-execs the benchmark
+# (up to _MAX_RETRIES times, sleeping _RETRY_SLEEP first so the tunnel has
+# time to come back); the first device op gets a much shorter stall budget
+# than compile-bearing stages since it involves no compilation.
 _STALL_SECONDS = float(os.environ.get("BENCH_STALL_SECONDS", 1200))
-_HEARTBEAT = {"t": time.monotonic()}
+_PROBE_STALL_SECONDS = float(os.environ.get("BENCH_PROBE_STALL_SECONDS", 300))
+_MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", 2))
+_RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", 90))
+_HEARTBEAT = {"t": time.monotonic(), "stall": _PROBE_STALL_SECONDS}
 
 
-def _log(msg):
+def _log(msg, stall=None):
     _HEARTBEAT["t"] = time.monotonic()
+    if stall is not None:
+        _HEARTBEAT["stall"] = stall
     if VERBOSE:
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
@@ -41,31 +50,33 @@ def _log(msg):
 def _start_watchdog():
     import threading
 
-    already_retried = os.environ.get("_BENCH_RETRY", "0") == "1"
+    retries = int(os.environ.get("_BENCH_RETRY", "0"))
 
     def watch():
         while True:
-            time.sleep(30)
-            if time.monotonic() - _HEARTBEAT["t"] > _STALL_SECONDS:
-                if already_retried:
+            time.sleep(15)
+            if time.monotonic() - _HEARTBEAT["t"] > _HEARTBEAT["stall"]:
+                if retries >= _MAX_RETRIES:
                     print(
-                        "[bench] stage stalled twice; giving up",
+                        f"[bench] stage stalled {retries + 1} times; giving up",
                         file=sys.stderr,
                         flush=True,
                     )
                     os._exit(3)
                 print(
-                    f"[bench] stage stalled > {_STALL_SECONDS:.0f}s "
-                    "(lost compile RPC); re-executing once",
+                    f"[bench] stage stalled > {_HEARTBEAT['stall']:.0f}s "
+                    f"(TPU tunnel/compile RPC lost); sleeping {_RETRY_SLEEP:.0f}s "
+                    f"then re-executing (retry {retries + 1}/{_MAX_RETRIES})",
                     file=sys.stderr,
                     flush=True,
                 )
-                env = dict(os.environ, _BENCH_RETRY="1")
+                time.sleep(_RETRY_SLEEP)
+                env = dict(os.environ, _BENCH_RETRY=str(retries + 1))
                 os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     threading.Thread(target=watch, daemon=True).start()
 
-N_PER_PROC = 12_500  # paired obs ~ 25k
+N_PER_PROC = int(os.environ.get("BENCH_N", 12_500))  # paired obs ~ 25k
 TARGET_SECONDS = 10.0
 
 
@@ -175,7 +186,14 @@ def main():
     from cokriging_tpu.data.grids import prediction_coords, main_coords_array
 
     _start_watchdog()
-    _log("start")
+    _log("device probe")
+    # Tiny compile-free op: if the tunnel is wedged this hangs, and the
+    # watchdog's short probe budget re-execs quickly instead of burning a
+    # full compile-stage stall window before the first retry.
+    import jax.numpy as jnp
+
+    jnp.zeros((2,)).block_until_ready()
+    _log("device probe ok; start", stall=_STALL_SECONDS)
 
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
     c1, v1, c2, v2 = build_inputs(dtype, noise_seed=1)
