@@ -358,9 +358,19 @@ def semivariance(params: MaternParams, i: int, h):
 
 
 def cross_semivariance(params: MaternParams, i: int, j: int, h):
-    """Cross-semivariogram = sill - C_ij(h), with the reference's
-    all-process sill (src/model.py:215-222)."""
-    sill = 0.5 * jnp.sum(params.sigma**2 + params.nugget)
+    """Cross-semivariogram = sill - C_ij(h) (src/model.py:215-222).
+
+    The sill is the pair sill 0.5 (C_ii(0) + C_jj(0)). For p = 2 (the only
+    case the reference exercises) this equals the reference's sum over the
+    whole sigma/nugget matrix; for p > 2 the pair sill is the statistically
+    correct generalization (the reference's bivariate-only nanprod/nansum
+    tricks do not extend)."""
+    sill = 0.5 * (
+        params.sigma[i] ** 2
+        + params.nugget[i]
+        + params.sigma[j] ** 2
+        + params.nugget[j]
+    )
     return sill - cross_covariance(params, i, j, h)
 
 
@@ -474,9 +484,16 @@ class MultivariateMatern:
     ``cokriging_tpu.estimate.wls.fit_wls``.
     """
 
-    def __init__(self, n_procs: int = 2, params: MaternParams = None) -> None:
+    def __init__(self, n_procs: int = None, params: MaternParams = None) -> None:
+        if n_procs is None:
+            n_procs = params.n_procs if params is not None else 2
         self.n_procs = n_procs
         self.params = params if params is not None else MaternParams.default(n_procs)
+        if self.params.n_procs != n_procs:
+            raise ValueError(
+                f"params are for {self.params.n_procs} processes, "
+                f"n_procs={n_procs} requested."
+            )
         self.fit_result = None
 
     def correlation(self, i, j, h):

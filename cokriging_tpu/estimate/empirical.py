@@ -26,6 +26,7 @@ Conventions preserved exactly:
 """
 
 import warnings
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional
@@ -532,6 +533,11 @@ def empirical_variograms(mf, config: VarioConfig) -> EmpiricalVariogram:
             }
         )
         frames.append(df.set_index(["i", "j", df.index]))
+    if config.n_procs != len(mf.fields):
+        # Record the process count actually estimated: downstream consumers
+        # (moment_init, fit_wls spec construction) size the parameter vector
+        # from config.n_procs, and the default VarioConfig is bivariate.
+        config = dataclasses.replace(config, n_procs=len(mf.fields))
     return EmpiricalVariogram(
         df=pd.concat(frames),
         config=config,

@@ -100,7 +100,15 @@ def composite_wls_cost(flat, centers, means, counts, pairs, spec: ParamSpec):
     ii = np.array([i for i, _ in pairs])
     jj = np.array([j for _, j in pairs])
     marginal = jnp.asarray(ii == jj)
-    sill = 0.5 * jnp.sum(params.sigma**2 + params.nugget)
+    # pair sill 0.5 (C_ii(0) + C_jj(0)); == the reference's all-process sum
+    # at p = 2, and the correct generalization for p > 2 (cov/matern.py
+    # cross_semivariance).
+    sill = 0.5 * (
+        params.sigma[ii] ** 2
+        + params.nugget[ii]
+        + params.sigma[jj] ** 2
+        + params.nugget[jj]
+    )
     a_coef = jnp.where(
         marginal, params.sigma[ii] ** 2 + params.nugget[ii], sill
     )
@@ -177,7 +185,11 @@ def moment_init(estimate, spec: Optional[ParamSpec] = None) -> MaternParams:
     from the colocated cross-covariance implied by the cross sill. Starting
     the WLS optimizer here cuts the on-device iteration count ~3x versus
     the defaults (and avoids the zero-cross-gradient trap at rho = 0)."""
-    spec = spec or ParamSpec(n_procs=estimate.config.n_procs)
+    if spec is None:
+        # Size the parameter vector from the pairs actually estimated, not
+        # the (possibly default-bivariate) config — robust for p > 2.
+        n_procs = 1 + max(j for _, j in estimate.pairs)
+        spec = ParamSpec(n_procs=n_procs)
     lo, hi = spec.bounds()
     flat = np.array(MaternParams.default(spec.n_procs, spec).to_flat())
     p = spec.n_procs
@@ -216,10 +228,12 @@ def moment_init(estimate, spec: Optional[ParamSpec] = None) -> MaternParams:
                 m0 = np.asarray(estimate.bin_means[k], float)
                 m0 = m0[np.isfinite(m0)]
                 if m0.size:
-                    # gamma_x(h->0) = sill_all - rho sig_i sig_j, with the
-                    # model's all-process sill (src/model.py:215-222)
-                    sill_all = 0.5 * sum(sills.get((a, a), 1.0) for a in range(p))
-                    rho = (sill_all - m0[0]) / max(flat[i] * flat[j], 1e-6)
+                    # gamma_x(h->0) = pair_sill - rho sig_i sig_j, with the
+                    # model's pair sill (cov/matern.py cross_semivariance)
+                    pair_sill = 0.5 * (
+                        sills.get((i, i), 1.0) + sills.get((j, j), 1.0)
+                    )
+                    rho = (pair_sill - m0[0]) / max(flat[i] * flat[j], 1e-6)
                     flat[2 * p + 2 * t + s] = np.clip(rho, -0.9, 0.9)
             # cross length scale: mean of the marginals
             ki, kj = iu.index((i, i)), iu.index((j, j))

@@ -1,1 +1,5 @@
-from cokriging_tpu.sim.cofield import CartesianGrid, BivariateRandomField  # noqa: F401
+from cokriging_tpu.sim.cofield import (  # noqa: F401
+    BivariateRandomField,
+    CartesianGrid,
+    MultivariateRandomField,
+)

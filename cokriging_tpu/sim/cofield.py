@@ -1,12 +1,16 @@
-"""Bivariate Gaussian cofield simulation.
+"""Multivariate Gaussian cofield simulation.
 
 Re-design of the reference simulator (src/sim.py:11-137) on the JAX PRNG:
-a joint 2n x 2n Matern block covariance over a Cartesian grid, one lower
+a joint pn x pn Matern block covariance over a Cartesian grid, one lower
 Cholesky factor, cofields = L @ N(0, 1). The semi-colocated sampling scheme
-(half the sample locations shared between the two processes, half disjoint,
-src/sim.py:67-82) and per-process additive measurement error
+(half the sample locations shared between all processes, half disjoint per
+process, src/sim.py:67-82) and per-process additive measurement error
 (src/sim.py:84-117) are preserved — this is the framework's end-to-end
 validation harness (parameter recovery + prediction-interval coverage).
+
+The reference is bivariate-only; here p = model.n_procs, with exactly the
+reference's draw sequence at p = 2 (``BivariateRandomField`` is the parity
+alias).
 """
 
 from typing import List, Optional
@@ -35,15 +39,18 @@ class CartesianGrid:
         self.dist = euclidean_matrix(jnp.asarray(pts), jnp.asarray(pts))
 
 
-class BivariateRandomField:
-    """Simulate and sample a bivariate Gaussian field (src/sim.py:30-137)."""
+class MultivariateRandomField:
+    """Simulate and sample a p-process Gaussian cofield (src/sim.py:30-137,
+    generalized from the reference's bivariate-only class)."""
 
     def __init__(self, model, grid: CartesianGrid, seed: int = 0) -> None:
         self.seed = seed
         self.mod = model
+        self.n_procs = model.n_procs
         self.grid = grid
         self.coords = grid.coords
-        dists = [[grid.dist, grid.dist], [grid.dist, grid.dist]]
+        p = self.n_procs
+        dists = [[grid.dist] * p for _ in range(p)]
         self.cmat = block_covariance(model.params, dists)
         self.chol_lower = jnp.linalg.cholesky(self.cmat)
         if bool(jnp.any(jnp.isnan(self.chol_lower))):
@@ -54,31 +61,36 @@ class BivariateRandomField:
 
     def _simulate(self) -> List[pd.DataFrame]:
         key = jax.random.PRNGKey(self.seed)
-        noise = jax.random.normal(key, (2 * self.grid.count,), self.cmat.dtype)
+        p, n = self.n_procs, self.grid.count
+        noise = jax.random.normal(key, (p * n,), self.cmat.dtype)
         sim = np.asarray(self.chol_lower @ noise)
-        halves = [sim[: self.grid.count], sim[self.grid.count :]]
+        chunks = [sim[k * n : (k + 1) * n] for k in range(p)]
         return [
             pd.DataFrame(
                 {
                     "x": self.coords["x"].values,
                     "y": self.coords["y"].values,
-                    "value": halves[i],
+                    "value": chunks[i],
                 }
             )
-            for i in range(2)
+            for i in range(p)
         ]
 
     def _split_samp_coords(self, size: int, seed: int) -> List[pd.DataFrame]:
-        """Half-colocated / half-disjoint sample locations (src/sim.py:67-82)."""
-        n_ext = int(np.floor(1.5 * size))
+        """Half-colocated / half-disjoint sample locations (src/sim.py:67-82).
+
+        n_co locations are shared by all p processes; each process gets its
+        own n_mis disjoint extras. At p = 2, n_ext == floor(1.5 size) — the
+        reference's draw, index for index."""
+        p = self.n_procs
         n_co = int(np.ceil(size / 2))
         n_mis = size - n_co
-        assert n_ext >= n_co + 2 * n_mis
+        n_ext = n_co + p * n_mis
         rng = np.random.default_rng(seed)
         rows = rng.choice(self.grid.count, size=n_ext, replace=False)
         co = rows[:n_co]
-        mis = [rows[n_co : n_co + n_mis], rows[n_co + n_mis : n_co + 2 * n_mis]]
-        return [np.concatenate([co, mis[i]]) for i in range(2)]
+        mis = [rows[n_co + k * n_mis : n_co + (k + 1) * n_mis] for k in range(p)]
+        return [np.concatenate([co, mis[i]]) for i in range(p)]
 
     def sample(
         self,
@@ -89,20 +101,22 @@ class BivariateRandomField:
     ) -> List[pd.DataFrame]:
         """Sample the cofields with additive N(0, eps_i^2) measurement error
         (src/sim.py:84-117)."""
+        p = self.n_procs
         if frac is not None:
             size = int(np.ceil(frac * self.grid.count))
-        assert 1.5 * size <= self.grid.count, (
+        n_need = int(np.ceil(size / 2)) + p * (size - int(np.ceil(size / 2)))
+        assert n_need <= self.grid.count, (
             "Sample size is too large for semi-colocated sampling scheme."
         )
         eps = np.asarray(epsilon, dtype=float)
         if eps.size == 1:
-            eps = np.repeat(eps, 2)
+            eps = np.repeat(eps, p)
         seed = self.seed if seed is None else seed
 
         idx = self._split_samp_coords(size, seed)
         key = jax.random.PRNGKey(seed + 1)
         samples = []
-        for i in range(2):
+        for i in range(p):
             df = self.fields[i].iloc[idx[i]].reset_index(drop=True).copy()
             key, sub = jax.random.split(key)
             noise = np.asarray(jax.random.normal(sub, (size,))) * eps[i]
@@ -129,3 +143,7 @@ class BivariateRandomField:
         df = self.fields[i]
         key = {(round(a, 12), round(b, 12)): v for a, b, v in df.values}
         return np.array([key[(round(a, 12), round(b, 12))] for a, b in coords])
+
+
+#: Reference-parity name (src/sim.py:30); identical draws at p = 2.
+BivariateRandomField = MultivariateRandomField
