@@ -21,20 +21,33 @@ def main(argv=None):
     sub.add_parser("bench", help="run the north-star benchmark")
 
     p_fit = sub.add_parser("fit", help="fit one month of staged data by WLS")
-    p_fit.add_argument("--data", nargs=2, required=True, metavar=("XCO2", "SIF"))
+    p_fit.add_argument("--data", nargs="+", required=True, metavar="DATASET",
+                       help="one staged table per process (e.g. XCO2 SIF)")
     p_fit.add_argument("--timestamp", required=True)
-    p_fit.add_argument("--timedeltas", nargs=2, type=int, default=[0, -1])
+    p_fit.add_argument("--timedeltas", nargs="+", type=int, default=None,
+                       help="per-process month offsets (default: 0 -1 for two "
+                            "processes, all zeros otherwise)")
     p_fit.add_argument("--max-dist", type=float, default=1.5e3)
     p_fit.add_argument("--n-bins", type=int, default=15)
+    p_fit.add_argument("--project-validity", action="store_true",
+                       help="project the WLS optimum onto the exact spectral "
+                            "validity region (guarantees a PD joint covariance "
+                            "for prediction; pairwise Gneiting bound)")
     p_fit.add_argument("--out", default="params.npz")
 
     p_pred = sub.add_parser("predict", help="cokrige a fitted month")
-    p_pred.add_argument("--data", nargs=2, required=True, metavar=("XCO2", "SIF"))
+    p_pred.add_argument("--data", nargs="+", required=True, metavar="DATASET",
+                        help="one staged table per process (e.g. XCO2 SIF)")
     p_pred.add_argument("--params", required=True)
     p_pred.add_argument("--timestamp", required=True)
-    p_pred.add_argument("--timedeltas", nargs=2, type=int, default=[0, -1])
+    p_pred.add_argument("--timedeltas", nargs="+", type=int, default=None,
+                        help="per-process month offsets (default: 0 -1 for two "
+                             "processes, all zeros otherwise)")
     p_pred.add_argument("--process", type=int, default=1)
     p_pred.add_argument("--max-dist", type=float, default=1e3)
+    p_pred.add_argument("--pred-grid", default=None,
+                        help="staged table of prediction locations (lat/lon "
+                             "columns); default: the 0.5-degree CONUS land grid")
     p_pred.add_argument("--out", default="predictions.parquet")
 
     args = parser.parse_args(argv)
@@ -53,6 +66,10 @@ def main(argv=None):
         from cokriging_tpu.utils.io import load_table, save_params, load_params, save_table
 
         dfs = [load_table(p) for p in args.data]
+        if args.timedeltas is None:
+            args.timedeltas = [0, -1] if len(dfs) == 2 else [0] * len(dfs)
+        if len(args.timedeltas) != len(dfs):
+            parser.error("--timedeltas must give one offset per --data table")
         names = []
         for df in dfs:
             var_cols = [c for c in df.columns if c.endswith("_var")]
@@ -75,7 +92,10 @@ def main(argv=None):
             est = empirical_variograms(
                 mf, VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins)
             )
-            params, result = fit_wls(est, init=moment_init(est))
+            params, result = fit_wls(
+                est, init=moment_init(est),
+                project_validity=args.project_validity,
+            )
             save_params(args.out, params, metadata={"timestamp": args.timestamp})
             print(params.to_dataframe().to_string(index=False))
             print(f"cost {result.cost:.6g} -> {args.out}")
@@ -85,8 +105,12 @@ def main(argv=None):
 
             params = load_params(args.params)
             mod = MultivariateMatern(params=params)
+            if args.pred_grid is not None:
+                pgrid = load_table(args.pred_grid)[["lat", "lon"]]
+            else:
+                pgrid = prediction_coords()
             out = LocalPredictor(mod, mf)(
-                args.process, prediction_coords(), max_dist=args.max_dist,
+                args.process, pgrid, max_dist=args.max_dist,
                 postprocess=False,
             )
             save_table(args.out, out)

@@ -279,11 +279,25 @@ class LocalPredictor:
             tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid),
         )
         pred, err = np.asarray(pred), np.asarray(err)
-        if np.isnan(pred).any():
-            warnings.warn(
-                f"No data within maximum distance {max_dist} for"
-                f" {int(np.isnan(pred).sum())} location(s); returning NaN."
-            )
+        nan_mask = np.isnan(pred)
+        if nan_mask.any():
+            # Distinguish the reference's two NaN-and-continue lanes:
+            # empty neighborhood (point_prediction.py:229-233) vs singular
+            # local covariance (point_prediction.py:218-222).
+            nb = np.asarray(n_nb)
+            no_data = nan_mask & (nb == 0)
+            singular = nan_mask & (nb > 0)
+            if no_data.any():
+                warnings.warn(
+                    f"No data within maximum distance {max_dist} for"
+                    f" {int(no_data.sum())} location(s); returning NaN."
+                )
+            if singular.any():
+                warnings.warn(
+                    f"Local covariance matrix is not positive definite for"
+                    f" {int(singular.sum())} location(s) (invalid model"
+                    f" parameters?); returning NaN."
+                )
         c1, c2 = ("lat", "lon") if self.mf.geodesic else ("x", "y")
         df = pd.DataFrame(
             {

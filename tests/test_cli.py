@@ -1,0 +1,99 @@
+"""CLI round-trip: ``python -m cokriging_tpu fit`` -> params.npz ->
+``predict`` -> predictions table, exercised in-process via main(argv).
+
+The reference has no CLI (SURVEY.md section 5 — notebooks only); this is
+the staged-artifact workflow (fit saves parameters, predict re-loads them)
+that replaces its notebook cells. Also covers the p = 3 generalization:
+the CLI accepts one staged table per process.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cokriging_tpu.__main__ import main
+from cokriging_tpu.data.grids import main_coords_array
+from cokriging_tpu.utils.io import load_params, load_table, save_table
+
+TIMES = ["2018-04-01", "2018-05-01", "2018-06-01"]
+
+
+def _staged_table(name, rng, scale=1.0, own_seed=123):
+    """Long-format staged frame [time, lat, lon, <name>, <name>_var] on the
+    base 4x5-degree grid, three months, smooth partially-correlated signals
+    (a shared smooth component plus per-process structure, so the fitted
+    cross-correlation stays well inside (-1, 1))."""
+    mc = main_coords_array()
+    srng = np.random.default_rng(own_seed)
+    base = (
+        np.sin(np.deg2rad(mc[:, 0]) * 5)
+        + 0.5 * np.cos(np.deg2rad(mc[:, 1]) * (3 + own_seed % 3))
+        + 0.6 * srng.normal(size=len(mc))
+    )
+    rows = []
+    for k, t in enumerate(TIMES):
+        vals = scale * (base + 0.15 * rng.normal(size=len(mc))) + 0.05 * k
+        rows.append(
+            pd.DataFrame(
+                {
+                    "time": pd.Timestamp(t),
+                    "lat": mc[:, 0],
+                    "lon": mc[:, 1],
+                    name: vals,
+                    f"{name}_var": 0.01,
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+@pytest.mark.parametrize("n_procs", [2, 3])
+def test_cli_fit_predict_roundtrip(tmp_path, n_procs):
+    rng = np.random.default_rng(0)
+    names = ["xco2", "sif", "evi"][:n_procs]
+    paths = []
+    for k, name in enumerate(names):
+        df = _staged_table(name, rng, scale=1.0 + 0.3 * k, own_seed=123 + k)
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, df)
+        paths.append(str(p))
+
+    params_path = tmp_path / "params.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", *(["0"] * n_procs),
+         "--max-dist", "3000", "--n-bins", "10", "--project-validity",
+         "--out", str(params_path)]
+    )
+    assert params_path.exists()
+    params = load_params(params_path)
+    assert params.n_procs == n_procs
+    assert np.isfinite(np.asarray(params.to_flat())).all()
+
+    # small prediction grid: a subset of base-grid cells, staged as a table
+    mc = main_coords_array()
+    pgrid_path = tmp_path / "pgrid.parquet"
+    save_table(pgrid_path, pd.DataFrame({"lat": mc[::3, 0], "lon": mc[::3, 1]}))
+
+    pred_path = tmp_path / "pred.parquet"
+    main(
+        ["predict", "--data", *paths, "--params", str(params_path),
+         "--timestamp", TIMES[1], "--timedeltas", *(["0"] * n_procs),
+         "--process", str(n_procs - 1), "--max-dist", "2000",
+         "--pred-grid", str(pgrid_path), "--out", str(pred_path)]
+    )
+    out = load_table(pred_path)
+    assert len(out) == len(mc[::3])
+    assert np.isfinite(out["pred"].values).all()
+    assert (out["pred_err"].values >= 0).all()
+
+
+def test_cli_timedeltas_length_mismatch_errors(tmp_path):
+    rng = np.random.default_rng(1)
+    p = tmp_path / "a.parquet"
+    save_table(p, _staged_table("xco2", rng))
+    with pytest.raises(SystemExit):
+        main(
+            ["fit", "--data", str(p), str(p), "--timestamp", TIMES[1],
+             "--timedeltas", "0", "--out", str(tmp_path / "x.npz")]
+        )
