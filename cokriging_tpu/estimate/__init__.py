@@ -5,3 +5,9 @@ from cokriging_tpu.estimate.empirical import (  # noqa: F401
 )
 from cokriging_tpu.estimate.wls import fit_wls, composite_wls_cost  # noqa: F401
 from cokriging_tpu.estimate.nll import neg_log_likelihood, fit_nll  # noqa: F401
+from cokriging_tpu.estimate.vecchia import (  # noqa: F401
+    VecchiaLikelihood,
+    fit_vecchia,
+    maxmin_order,
+    vecchia_nll,
+)

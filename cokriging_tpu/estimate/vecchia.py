@@ -1,0 +1,390 @@
+"""Vecchia approximation of the multivariate Gaussian NLL.
+
+The exact likelihood (estimate/nll.py) factorizes the joint density over a
+single N x N Cholesky — O(N^2) memory, O(N^3) flops, practical to N ~ 25k
+on one chip. The Vecchia approximation (Vecchia 1988; Katzfuss & Guinness
+2021) replaces each conditional in the telescoping product
+
+    p(z) = prod_i p(z_i | z_1, ..., z_{i-1})
+
+with conditioning on only the m nearest *previous* observations in a
+maxmin ordering:
+
+    p(z) ~= prod_i p(z_i | z_{N(i)}),   |N(i)| <= m.
+
+Every term is one (m+1) x (m+1) Cholesky — N independent tiny dense
+factorizations, i.e. a batched vmap workload that maps straight onto the
+MXU. Cost is O(N m^3) flops and O(N m) memory: linear in N, so this
+estimator extends the exact-NLL axis from n ~ 25k to millions of
+observations. With m = N-1 the product is exact for ANY ordering, which is
+the oracle test (tests/test_vecchia.py).
+
+The reference has no likelihood estimator at all (SURVEY.md section 2:
+WLS on empirical variograms is its only fitting path); this module is
+the scalable companion to the exact NLL the rebuild added. The
+multivariate extension conditions across processes: all p processes'
+observations are stacked, maxmin-ordered jointly, and each conditioning
+set may mix processes (the (a, b) entry of a term covariance is the
+bivariate-Matern cross-covariance with the reference's conventions —
+nugget on exact-zero marginal distances, rho sigma_a sigma_b cross
+amplitude; src/model.py:193-207).
+
+TPU design notes:
+- the maxmin ordering is a jittable fori_loop with scalar carries
+  (O(N^2) flops, N sequential steps — seconds at N = 100k);
+- neighbor search is a blocked masked top-k over the ordered prefix,
+  O(N^2 / block) device passes, never materializing N x N;
+- the NLL itself scans over fixed-size term chunks; each chunk gathers
+  (m+1)-wide coordinate/value windows, evaluates the Matern correlation
+  elementwise over per-entry (nu, len_scale) gathered from the parameter
+  matrices, and reads the conditional off the LAST component of the
+  whitened vector u = L^{-1} z (for the ordering [neighbors, self],
+  -2 log p(z_i | nbrs) = u_m^2 + 2 log L_mm + log 2pi).
+- masked lanes (terms with fewer than m predecessors) are identity
+  rows/columns with z = 0, contributing nothing to u_m.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cokriging_tpu.cov.params import MaternParams, ParamSpec
+from cokriging_tpu.cov.matern import _matern_corr_raw
+from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
+
+
+def _dist(a, b, geodesic):
+    return haversine_matrix(a, b) if geodesic else euclidean_matrix(a, b)
+
+
+# ---------------------------------------------------------------------------
+# maxmin ordering
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("geodesic",))
+def _maxmin_order_program(coords, geodesic):
+    n = coords.shape[0]
+    centroid = jnp.mean(coords, axis=0, keepdims=True)
+    d0 = _dist(centroid, coords, geodesic)[0]
+    first = jnp.argmin(d0)
+
+    def body(k, carry):
+        order, mindist = carry
+        prev = order[k - 1]
+        drow = _dist(coords[prev][None, :], coords, geodesic)[0]
+        mindist = jnp.minimum(mindist, drow)
+        nxt = jnp.argmax(mindist).astype(jnp.int32)
+        order = order.at[k].set(nxt)
+        return order, mindist
+
+    order0 = jnp.zeros(n, jnp.int32).at[0].set(first.astype(jnp.int32))
+    mind0 = jnp.full(n, jnp.inf, coords.dtype).at[first].set(-jnp.inf)
+
+    def body_masked(k, carry):
+        order, mindist = body(k, carry)
+        # freeze already-selected points at -inf so they are never re-picked
+        return order, mindist.at[order[k]].set(-jnp.inf)
+
+    order, _ = jax.lax.fori_loop(1, n, body_masked, (order0, mind0))
+    return order
+
+
+def maxmin_order(coords, geodesic: bool = True) -> np.ndarray:
+    """Maxmin (farthest-point) permutation: start near the centroid, then
+    repeatedly pick the point farthest from all previously picked points.
+    The standard Vecchia ordering (Guinness 2018) — early points spread
+    coarsely over the domain so later conditioning sets are informative."""
+    return np.asarray(_maxmin_order_program(jnp.asarray(coords), geodesic))
+
+
+# ---------------------------------------------------------------------------
+# nearest previous neighbors under an ordering
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "geodesic", "block"))
+def _neighbors_program(coords_ord, m, geodesic, block):
+    n = coords_ord.shape[0]
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    rows = jnp.concatenate(
+        [jnp.arange(n), jnp.zeros(pad, jnp.int32)]
+    ).reshape(n_blocks, block)
+
+    def one_block(r):
+        c = coords_ord[r]
+        d = _dist(c, coords_ord, geodesic)
+        # strictly-previous mask: column index < global row index
+        prev = jnp.arange(n)[None, :] < r[:, None]
+        score = jnp.where(prev, d, jnp.inf)
+        neg, idx = jax.lax.top_k(-score, m)
+        return idx.astype(jnp.int32), jnp.isfinite(-neg)
+
+    idxs, masks = jax.lax.map(one_block, rows)
+    return idxs.reshape(-1, m)[:n], masks.reshape(-1, m)[:n]
+
+
+def nearest_previous_neighbors(
+    coords_ord, m: int, geodesic: bool = True, block: int = 512
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, m) indices of each point's m nearest predecessors in the
+    ordering, plus a validity mask (early points have fewer than m)."""
+    idx, mask = _neighbors_program(jnp.asarray(coords_ord), m, geodesic, block)
+    return np.asarray(idx), np.asarray(mask)
+
+
+# ---------------------------------------------------------------------------
+# the Vecchia NLL
+# ---------------------------------------------------------------------------
+
+
+def _term_windows(coords_ord, values_ord, procs_ord, mvar_ord, nbr, nbr_mask):
+    """Gather the per-term (m+1)-wide windows: [neighbors..., self]."""
+    n, m = nbr.shape
+    self_idx = jnp.arange(n, dtype=nbr.dtype)[:, None]
+    idx = jnp.concatenate([nbr, self_idx], axis=1)  # (n, m+1)
+    mask = jnp.concatenate(
+        [nbr_mask, jnp.ones((n, 1), bool)], axis=1
+    )
+    win_coords = coords_ord[idx]  # (n, m+1, 2)
+    win_z = jnp.where(mask, values_ord[idx], 0.0)
+    win_p = procs_ord[idx]  # (n, m+1)
+    if mvar_ord is None:
+        mvar_ord = jnp.zeros(n, values_ord.dtype)
+    win_mv = mvar_ord[idx]
+    return win_coords, win_z, win_p, win_mv, mask
+
+
+def _chunk_nll(flat, spec, win, geodesic):
+    """Sum of -2 log p(z_i | nbrs) contributions over one chunk of terms."""
+    params = MaternParams.from_flat(flat, spec=spec)
+    coords, z, procs, mvar, mask = win
+
+    from cokriging_tpu.kernels.bessel import log_precise
+
+    def one(c, zi, pi, mi, mvi):
+        m1 = c.shape[0]
+        d = _dist(c, c, geodesic)
+        pa, pb = pi[:, None], pi[None, :]
+        nu = params.nu[pa, pb]
+        ls = params.len_scale[pa, pb]
+        corr = _matern_corr_raw(nu, ls, d)
+        same = pa == pb
+        sig = params.sigma
+        amp = jnp.where(
+            same,
+            sig[pa] ** 2,
+            params.rho[pa, pb] * sig[pa] * sig[pb],
+        )
+        cov = amp * corr
+        # nugget on exact-zero marginal distances (src/model.py:193-197)
+        cov = cov + jnp.where(same & (d == 0.0), params.nugget[pa], 0.0)
+        cov = cov + jnp.diag(mvi)
+        # identity lanes for masked (absent) neighbors
+        m2 = mi[:, None] & mi[None, :]
+        cov = jnp.where(m2, cov, jnp.eye(m1, dtype=cov.dtype))
+        chol = jax.lax.linalg.cholesky(cov)
+        u = jax.lax.linalg.triangular_solve(
+            chol, zi[:, None], left_side=True, lower=True
+        )[:, 0]
+        ll = u[-1] ** 2 + 2.0 * log_precise(chol[-1, -1])
+        # non-PD parameter points: NaN factor -> large finite penalty so
+        # line searches back off (same convention as estimate/nll.py)
+        bad = jnp.isnan(chol[-1, -1]) | jnp.isnan(u[-1])
+        return jnp.where(bad, jnp.asarray(2e6, cov.dtype), ll)
+
+    return jnp.sum(jax.vmap(one)(coords, z, procs, mask, mvar))
+
+
+def vecchia_nll(
+    flat,
+    win_coords,
+    win_z,
+    win_procs,
+    win_mvar,
+    win_mask,
+    spec: ParamSpec,
+    geodesic: bool = True,
+    chunk: int = 4096,
+):
+    """Jittable Vecchia NLL over precomputed term windows.
+
+    0.5 * sum_i (u_m^2 + 2 log L_mm + log 2pi) with per-term (m+1)-point
+    Cholesky factorizations, scanned over ``chunk``-sized batches of terms
+    (the scan body is checkpointed, so reverse-mode memory is bounded by
+    one chunk's K_nu residuals regardless of N).
+    """
+    n = win_coords.shape[0]
+    chunk = min(chunk, n)
+    n_full = (n // chunk) * chunk
+
+    body_fn = jax.checkpoint(lambda f, w: _chunk_nll(f, spec, w, geodesic))
+
+    total = jnp.asarray(0.0, win_coords.dtype)
+    if n_full:
+        def stack(a):
+            return a[:n_full].reshape(n // chunk, chunk, *a.shape[1:])
+
+        chunks = tuple(
+            stack(a)
+            for a in (win_coords, win_z, win_procs, win_mvar, win_mask)
+        )
+
+        def scan_body(acc, xs):
+            return acc + body_fn(flat, xs), None
+
+        total, _ = jax.lax.scan(scan_body, total, chunks)
+    if n_full < n:
+        tail = tuple(
+            a[n_full:]
+            for a in (win_coords, win_z, win_procs, win_mvar, win_mask)
+        )
+        total = total + body_fn(flat, tail)
+    return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+
+
+class VecchiaLikelihood:
+    """Precomputed Vecchia scaffold (ordering + neighbor windows) exposing
+    a jittable ``nll(flat)`` and its gradient for a fixed dataset.
+
+    Args:
+        coords_list: per-process (n_j, 2) coordinate arrays.
+        values_list: per-process (n_j,) residual arrays.
+        m: conditioning-set size (typically 10-40; accuracy increases and
+            cost grows as O(m^3) per term).
+        geodesic: haversine (km) vs Euclidean distances.
+        measurement_var_list: optional per-process measurement-error
+            variances added to term diagonals.
+    """
+
+    def __init__(
+        self,
+        coords_list,
+        values_list,
+        m: int = 30,
+        geodesic: bool = True,
+        measurement_var_list=None,
+        chunk: int = 4096,
+    ) -> None:
+        coords = np.concatenate([np.asarray(c) for c in coords_list])
+        values = np.concatenate([np.asarray(v) for v in values_list])
+        procs = np.concatenate(
+            [np.full(len(c), j, np.int32) for j, c in enumerate(coords_list)]
+        )
+        mvar = None
+        if measurement_var_list is not None:
+            mvar = np.concatenate(
+                [np.asarray(v, values.dtype) for v in measurement_var_list]
+            )
+        n = coords.shape[0]
+        m = int(min(m, n - 1))
+        self.n, self.m, self.geodesic, self.chunk = n, m, geodesic, chunk
+
+        perm = maxmin_order(coords, geodesic)
+        self.perm = perm
+        coords, values, procs = coords[perm], values[perm], procs[perm]
+        if mvar is not None:
+            mvar = mvar[perm]
+        nbr, nbr_mask = nearest_previous_neighbors(coords, m, geodesic)
+
+        win = _term_windows(
+            jnp.asarray(coords),
+            jnp.asarray(values),
+            jnp.asarray(procs),
+            jnp.asarray(mvar) if mvar is not None else None,
+            jnp.asarray(nbr),
+            jnp.asarray(nbr_mask),
+        )
+        self._win = win
+
+    def nll(self, flat, spec: ParamSpec):
+        c, z, p, mv, mk = self._win
+        return vecchia_nll(
+            flat, c, z, p, mv, mk, spec, self.geodesic, self.chunk
+        )
+
+
+def fit_vecchia(
+    mf,
+    init: Optional[MaternParams] = None,
+    m: int = 30,
+    use_measurement_var: bool = False,
+    maxiter: int = 200,
+    main: bool = True,
+    chunk: int = 4096,
+) -> Tuple[MaternParams, dict]:
+    """Maximum Vecchia-likelihood fit of the Matern parameters.
+
+    Same driver shape as estimate.nll.fit_nll (sigmoid box
+    reparameterization + scipy L-BFGS over the jit'd value_and_grad), with
+    the exact N x N factorization replaced by the O(N m^3) Vecchia sum —
+    the fit path for datasets beyond the exact-NLL's n ~ 25k ceiling.
+    """
+    from scipy.optimize import minimize
+
+    init = init or MaternParams.default(mf.n_procs)
+    spec = init.spec
+    coords = [f.coords_main if main else f.coords for f in mf.fields]
+    values = [f.values_main if main else f.values for f in mf.fields]
+    mvl = None
+    if use_measurement_var:
+        mvl = [
+            f.measurement_var
+            if f.measurement_var is not None
+            else np.zeros(f.size)
+            for f in mf.fields
+        ]
+    lik = VecchiaLikelihood(
+        coords, values, m=m, geodesic=mf.geodesic,
+        measurement_var_list=mvl, chunk=chunk,
+    )
+
+    lo_np, hi_np = spec.bounds()
+    lo, hi = jnp.asarray(lo_np), jnp.asarray(hi_np)
+
+    @jax.jit
+    def value_and_grad_u(u):
+        def obj(uu):
+            x = lo + (hi - lo) * jax.nn.sigmoid(uu)
+            return lik.nll(x, spec)
+
+        return jax.value_and_grad(obj)(u)
+
+    x0 = np.clip(
+        np.asarray(init.to_flat(), np.float64),
+        lo_np + 1e-6 * (hi_np - lo_np),
+        hi_np - 1e-6 * (hi_np - lo_np),
+    )
+    z0 = (x0 - lo_np) / (hi_np - lo_np)
+    u0 = np.log(z0) - np.log1p(-z0)
+
+    evals = {"n": 0}
+
+    def fun(u):
+        evals["n"] += 1
+        v, g = value_and_grad_u(jnp.asarray(u))
+        return float(v), np.asarray(g)
+
+    # tight ftol/gtol: under the sigmoid box reparameterization the
+    # objective flattens near saturated bounds, and the scipy defaults
+    # declare victory mid-ridge (seen: stop at +3 nats after 25 iters
+    # while the same surface admits -3 more; exact-NLL parity test)
+    res = minimize(
+        fun, u0, jac=True, method="L-BFGS-B",
+        options={"maxiter": maxiter, "ftol": 1e-13, "gtol": 1e-9,
+                 "maxcor": 20},
+    )
+    x = np.asarray(lo_np + (hi_np - lo_np) / (1.0 + np.exp(-res.x)))
+    params = MaternParams.from_flat(jnp.asarray(x), spec=spec)
+    return params, {
+        "nll": float(res.fun),
+        "success": bool(res.success),
+        "n_iter": int(res.nit),
+        "n_obj_evals": evals["n"],
+        "m": lik.m,
+        "n": lik.n,
+    }
