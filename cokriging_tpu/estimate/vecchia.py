@@ -218,6 +218,24 @@ def vecchia_nll(
     (the scan body is checkpointed, so reverse-mode memory is bounded by
     one chunk's K_nu residuals regardless of N).
     """
+    total = _windows_nll_sum(
+        flat,
+        (win_coords, win_z, win_procs, win_mvar, win_mask),
+        spec,
+        geodesic,
+        chunk,
+    )
+    n = win_coords.shape[0]
+    return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+
+
+def _windows_nll_sum(flat, windows, spec, geodesic, chunk):
+    """Sum of -2 log p terms over the windows, scanned in checkpointed
+    ``chunk``-sized batches (bounds reverse-mode memory to one chunk's
+    K_nu residuals). Fully-masked windows contribute exactly 0, so padded
+    term rows (e.g. mesh padding in parallel.sharded_vecchia_nll) are free.
+    """
+    win_coords, win_z, win_procs, win_mvar, win_mask = windows
     n = win_coords.shape[0]
     chunk = min(chunk, n)
     n_full = (n // chunk) * chunk
@@ -229,22 +247,16 @@ def vecchia_nll(
         def stack(a):
             return a[:n_full].reshape(n // chunk, chunk, *a.shape[1:])
 
-        chunks = tuple(
-            stack(a)
-            for a in (win_coords, win_z, win_procs, win_mvar, win_mask)
-        )
+        chunks = tuple(stack(a) for a in windows)
 
         def scan_body(acc, xs):
             return acc + body_fn(flat, xs), None
 
         total, _ = jax.lax.scan(scan_body, total, chunks)
     if n_full < n:
-        tail = tuple(
-            a[n_full:]
-            for a in (win_coords, win_z, win_procs, win_mvar, win_mask)
-        )
+        tail = tuple(a[n_full:] for a in windows)
         total = total + body_fn(flat, tail)
-    return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+    return total
 
 
 class VecchiaLikelihood:

@@ -5,4 +5,5 @@ from cokriging_tpu.parallel.mesh import (  # noqa: F401
     sharded_local_predict,
     sharded_wls_grad_step,
     sharded_variogram_pair,
+    sharded_vecchia_nll,
 )

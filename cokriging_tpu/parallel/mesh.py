@@ -212,6 +212,69 @@ def sharded_variogram_pair(
     return centers, means, counts
 
 
+def sharded_vecchia_nll(
+    lik,
+    flat,
+    spec,
+    mesh: Optional[Mesh] = None,
+    chunk: int = 4096,
+):
+    """Vecchia NLL with the term axis sharded across the mesh.
+
+    The Vecchia sum is embarrassingly parallel over terms: each chip
+    evaluates its shard of the (m+1)-point conditionals with the same
+    checkpointed chunk scan as the single-chip path, and one psum over ICI
+    combines the partial sums. Padded terms are fully-masked windows that
+    contribute exactly 0. This is the likelihood path past one chip's
+    O(N m^3) throughput: N ~ 10^6 observations over an 8-chip slice.
+    Differentiable in ``flat`` (shard_map composes with jax.grad, the psum
+    transposing to a broadcast).
+
+    Args:
+        lik: an estimate.vecchia.VecchiaLikelihood scaffold.
+        flat: flat parameter vector.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from cokriging_tpu.estimate.vecchia import _windows_nll_sum
+
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    c, z, p, mv, mk = lik._win
+    n = int(c.shape[0])
+    pad = (-n) % n_dev
+    if pad:
+        def padded(a, fill):
+            extra = jnp.full((pad, *a.shape[1:]), fill, a.dtype)
+            return jnp.concatenate([a, extra])
+
+        c = padded(c, 0.0)
+        z = padded(z, 0.0)
+        p = padded(p, 0)
+        mv = padded(mv, 0.0)
+        mk = padded(mk, False)  # all-masked windows: identity systems, 0 nll
+
+    geodesic, per_chunk = lik.geodesic, chunk
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def partial_sum(flat_r, c_s, z_s, p_s, mv_s, mk_s):
+        s = _windows_nll_sum(
+            flat_r, (c_s, z_s, p_s, mv_s, mk_s), spec, geodesic, per_chunk
+        )
+        return jax.lax.psum(s[None], axis)
+
+    total = partial_sum(jnp.asarray(flat), c, z, p, mv, mk)[0]
+    return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+
+
 @partial(jax.jit, static_argnames=("pairs", "spec"))
 def _batched_wls_value_and_grad(flats, centers, means, counts, pairs, spec):
     """(B, n_params) params x (B, n_pairs, n_bins) estimates -> per-month

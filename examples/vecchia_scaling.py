@@ -1,0 +1,82 @@
+"""Vecchia-likelihood scaling: NLL + gradient cost vs observation count.
+
+The exact NLL (examples/nll_scaling.py) is O(n^2) memory / O(n^3) flops
+and tops out near n ~ 25k on one chip. The Vecchia approximation
+(estimate/vecchia.py) is O(N m) / O(N m^3): this script times
+
+  - the one-off scaffold build (maxmin ordering + neighbor search), and
+  - jit-compiled NLL value+gradient evaluations,
+
+for growing N at fixed conditioning-set size m, on whatever backend is
+ambient (TPU f32 fast path / CPU f64). On CPU the sizes are capped so the
+script stays interactive.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.estimate.vecchia import VecchiaLikelihood
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = np.float32 if on_tpu else np.float64
+    # CPU f64 K_nu costs ~1 min per 1e6 covariance entries per core; keep
+    # the host-backend sizes interactive
+    sizes = [25_000, 50_000, 100_000] if on_tpu else [400, 800]
+    m = 30 if on_tpu else 15
+    reps = 3 if on_tpu else 1
+
+    spec = ParamSpec(n_procs=2)
+    flat = jnp.asarray(
+        np.array([1.0, 1.0, 1.5, 1.5, 1.5, 300.0, 300.0, 300.0, 0.02, 0.02, -0.5]),
+        dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} dtype={np.dtype(dtype).name} m={m}")
+    print(f"{'N_total':>9} {'build_s':>8} {'eval_s':>8} {'terms/s':>10}")
+    for n_total in sizes:
+        n = n_total // 2
+        lat = rng.uniform(24.0, 50.0, n).astype(dtype)
+        lon = rng.uniform(-124.0, -67.0, n).astype(dtype)
+        c1 = np.column_stack([lat, lon])
+        c2 = np.roll(c1, 1, axis=0) + rng.normal(scale=0.05, size=c1.shape).astype(dtype)
+        v1 = np.sin(np.deg2rad(lat) * 6).astype(dtype)
+        v2 = (-0.5 * v1 + 0.3 * rng.normal(size=n)).astype(dtype)
+
+        t0 = time.perf_counter()
+        lik = VecchiaLikelihood([c1, c2], [v1, v2], m=m, geodesic=True)
+        jax.block_until_ready(lik._win)
+        t_build = time.perf_counter() - t0
+
+        vg = jax.jit(jax.value_and_grad(lambda f: lik.nll(f, spec)))
+        v, g = vg(flat)
+        jax.block_until_ready((v, g))  # compile + first eval
+        t0 = time.perf_counter()
+        for k in range(reps):
+            v, g = vg(flat + 1e-6 * k)  # fresh inputs defeat result caching
+            jax.block_until_ready((v, g))
+        t_eval = (time.perf_counter() - t0) / reps
+        print(
+            f"{n_total:>9} {t_build:>8.2f} {t_eval:>8.3f} "
+            f"{n_total / t_eval:>10.0f}"
+        )
+        assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+
+
+if __name__ == "__main__":
+    main()
