@@ -328,6 +328,7 @@ def fit_vecchia(
     maxiter: int = 200,
     main: bool = True,
     chunk: int = 4096,
+    mesh=None,
 ) -> Tuple[MaternParams, dict]:
     """Maximum Vecchia-likelihood fit of the Matern parameters.
 
@@ -335,6 +336,10 @@ def fit_vecchia(
     reparameterization + scipy L-BFGS over the jit'd value_and_grad), with
     the exact N x N factorization replaced by the O(N m^3) Vecchia sum —
     the fit path for datasets beyond the exact-NLL's n ~ 25k ceiling.
+
+    ``mesh``: optional jax.sharding.Mesh; the objective (and its gradient)
+    then evaluates term-parallel across the mesh via
+    parallel.sharded_vecchia_nll — identical values, N-way throughput.
     """
     from scipy.optimize import minimize
 
@@ -358,11 +363,20 @@ def fit_vecchia(
     lo_np, hi_np = spec.bounds()
     lo, hi = jnp.asarray(lo_np), jnp.asarray(hi_np)
 
+    if mesh is not None:
+        from cokriging_tpu.parallel import sharded_vecchia_nll
+
+        def nll_fn(x):
+            return sharded_vecchia_nll(lik, x, spec, mesh=mesh, chunk=chunk)
+    else:
+        def nll_fn(x):
+            return lik.nll(x, spec)
+
     @jax.jit
     def value_and_grad_u(u):
         def obj(uu):
             x = lo + (hi - lo) * jax.nn.sigmoid(uu)
-            return lik.nll(x, spec)
+            return nll_fn(x)
 
         return jax.value_and_grad(obj)(u)
 

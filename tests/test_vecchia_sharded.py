@@ -36,6 +36,39 @@ def test_sharded_vecchia_nll_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_fit_vecchia_mesh_path_runs():
+    """fit_vecchia(mesh=...) drives the sharded objective end to end and
+    lands at the same optimum as the mesh-less fit from the same init
+    (identical objective values => identical L-BFGS trajectory)."""
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.estimate.vecchia import fit_vecchia
+    from cokriging_tpu.fields.field import Field, MultiField
+
+    rng = np.random.default_rng(9)
+    n = 50
+    coords = rng.uniform(0, 1, (n, 2))
+    vals = rng.normal(size=n)
+    fields = []
+    for k in range(2):
+        f = Field.from_arrays(coords, vals + 0.3 * rng.normal(size=n), f"Z{k}")
+        f.geodesic = False
+        fields.append(f)
+    mf = MultiField(fields=fields)
+    spec = ParamSpec(
+        n_procs=2, len_scale_bounds=(0.05, 2.0), sigma_bounds=(0.2, 3.0)
+    )
+    init = MaternParams.default(2, spec).with_flat(
+        jnp.asarray([1.0, 1.0, 1.5, 1.5, 1.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.0])
+    )
+    kw = dict(init=init, m=8, maxiter=10, main=False, chunk=16)
+    p_mesh, i_mesh = fit_vecchia(mf, mesh=make_mesh(), **kw)
+    p_single, i_single = fit_vecchia(mf, **kw)
+    np.testing.assert_allclose(i_mesh["nll"], i_single["nll"], rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(p_mesh.to_flat()), np.asarray(p_single.to_flat()), rtol=1e-6
+    )
+
+
 def test_sharded_vecchia_nll_grad_matches():
     lik = _lik(40)
     spec = MaternParams.default(2).spec
