@@ -33,9 +33,12 @@ VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 # time to come back); the first device op gets a much shorter stall budget
 # than compile-bearing stages since it involves no compilation.
 _STALL_SECONDS = float(os.environ.get("BENCH_STALL_SECONDS", 1200))
-_PROBE_STALL_SECONDS = float(os.environ.get("BENCH_PROBE_STALL_SECONDS", 300))
-_MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", 2))
-_RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", 90))
+_PROBE_STALL_SECONDS = float(os.environ.get("BENCH_PROBE_STALL_SECONDS", 150))
+# Tunnel outages of 4+ hours have been observed (2026-08-18); the probe
+# stall is cheap (no compiles), so retry many times with growing sleeps
+# rather than giving up while the tunnel is merely down.
+_MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", 6))
+_RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", 120))
 _HEARTBEAT = {"t": time.monotonic(), "stall": _PROBE_STALL_SECONDS}
 
 
@@ -63,14 +66,15 @@ def _start_watchdog():
                         flush=True,
                     )
                     os._exit(3)
+                sleep_s = _RETRY_SLEEP * (2 ** min(retries, 3))
                 print(
                     f"[bench] stage stalled > {_HEARTBEAT['stall']:.0f}s "
-                    f"(TPU tunnel/compile RPC lost); sleeping {_RETRY_SLEEP:.0f}s "
+                    f"(TPU tunnel/compile RPC lost); sleeping {sleep_s:.0f}s "
                     f"then re-executing (retry {retries + 1}/{_MAX_RETRIES})",
                     file=sys.stderr,
                     flush=True,
                 )
-                time.sleep(_RETRY_SLEEP)
+                time.sleep(sleep_s)
                 env = dict(os.environ, _BENCH_RETRY=str(retries + 1))
                 os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
