@@ -116,6 +116,7 @@ def sharded_local_predict(
         k_each,
         cv,
         n_valid,
+        direct_cov=not getattr(predictor, "materialize_cov", True),
     )
     return np.asarray(pred)[:n], np.asarray(err)[:n]
 

@@ -83,7 +83,10 @@ def _kmax_program(pcoords, coords_tuple, n_valid, max_dist, i, geodesic, cv):
     return jnp.stack(ks)
 
 
-@partial(jax.jit, static_argnames=("i", "geodesic", "sizes", "k_each", "cv"))
+@partial(
+    jax.jit,
+    static_argnames=("i", "geodesic", "sizes", "k_each", "cv", "direct_cov"),
+)
 def _local_predict_batch(
     params,
     coords_tuple,
@@ -97,6 +100,7 @@ def _local_predict_batch(
     k_each,
     cv,
     n_valid=None,
+    direct_cov=False,
 ):
     """Vmapped local prediction at all pcoords.
 
@@ -104,7 +108,12 @@ def _local_predict_batch(
     the (possibly padded) static array lengths; ``n_valid`` optionally
     carries the *runtime* number of real data lanes per process, so months
     with different observation counts share one compiled program (padded
-    lanes can never enter a neighborhood). Returns
+    lanes can never enter a neighborhood). ``direct_cov=True`` assembles
+    each local covariance from the gathered neighborhood coordinates
+    instead of gathering entries out of the precomputed n x n ``joint_cov``
+    (which is then unused) — O(K^2) Matern work per location, but no n^2
+    matrix anywhere: the prediction path for data sizes past one chip's
+    joint-covariance memory (the same regime as estimate.vecchia). Returns
     (pred, pred_err, n_neighbors).
     """
     p = len(coords_tuple)
@@ -112,9 +121,13 @@ def _local_predict_batch(
     c0 = covariance(params, i, jnp.zeros(1), use_nugget=True)[0]
     if n_valid is None:
         n_valid = tuple(jnp.asarray(s) for s in sizes)
+    # static per-lane process ids for the direct-assembly path
+    pid = jnp.asarray(
+        np.concatenate([np.full(k_each[j], j) for j in range(p)]), jnp.int32
+    )
 
     def one_location(s0):
-        idx_parts, dist_parts, mask_parts = [], [], []
+        idx_local, dist_parts, mask_parts = [], [], []
         for j in range(p):
             d = _dist(s0[None, :], coords_tuple[j], geodesic)[0]
             within = (d <= max_dist) & (jnp.arange(d.shape[0]) < n_valid[j])
@@ -127,24 +140,52 @@ def _local_predict_batch(
             neg, idx = jax.lax.top_k(-score, k_each[j])
             dj = -neg
             mask = jnp.isfinite(dj)
-            idx_parts.append(idx + offsets[j])
+            idx_local.append(idx)
             dist_parts.append(jnp.where(mask, dj, 0.0))
             mask_parts.append(mask)
 
-        idx = jnp.concatenate(idx_parts)
+        idx = jnp.concatenate(
+            [idx_local[j] + offsets[j] for j in range(p)]
+        )
         mask = jnp.concatenate(mask_parts)
-
-        # Local covariance gathered from the precomputed joint matrix.
-        # Two row-gathers with a transpose between them instead of one 2-D
-        # fancy gather: XLA lowers C[ix[:,None], ix[None,:]] to a scalarized
-        # scatter/gather that costs ~1.9 s for the bench's 6k x 160 x 160
-        # batch on a v5e chip, while row-gathers stay contiguous (~90 ms
-        # measured for the same batch).
-        rows = jnp.take(joint_cov, idx, axis=0)
-        a = jnp.take(rows.T, idx, axis=0).T
         m2 = mask[:, None] & mask[None, :]
         k_tot = idx.shape[0]
-        eye = jnp.eye(k_tot, dtype=a.dtype)
+        eye = jnp.eye(k_tot, dtype=joint_cov.dtype)
+
+        if direct_cov:
+            # Assemble the local covariance from the gathered coordinates:
+            # per-entry (nu, l, amplitude) via the process-id pair, nugget
+            # on exact-zero marginal distances — identical conventions to
+            # the materialized joint matrix (cov.matern.block_covariance).
+            from cokriging_tpu.cov.matern import _matern_corr_raw
+
+            gc = jnp.concatenate(
+                [coords_tuple[j][idx_local[j]] for j in range(p)]
+            )
+            dm = _dist(gc, gc, geodesic)
+            pa, pb = pid[:, None], pid[None, :]
+            same = pa == pb
+            corr = _matern_corr_raw(
+                params.nu[pa, pb], params.len_scale[pa, pb], dm
+            )
+            amp = jnp.where(
+                same,
+                params.sigma[pa] ** 2,
+                params.rho[pa, pb] * params.sigma[pa] * params.sigma[pb],
+            )
+            a = amp * corr + jnp.where(
+                same & (dm == 0.0), params.nugget[pa], 0.0
+            )
+            a = a.astype(eye.dtype)
+        else:
+            # Local covariance gathered from the precomputed joint matrix.
+            # Two row-gathers with a transpose between them instead of one
+            # 2-D fancy gather: XLA lowers C[ix[:,None], ix[None,:]] to a
+            # scalarized scatter/gather that costs ~1.9 s for the bench's
+            # 6k x 160 x 160 batch on a v5e chip, while row-gathers stay
+            # contiguous (~90 ms measured for the same batch).
+            rows = jnp.take(joint_cov, idx, axis=0)
+            a = jnp.take(rows.T, idx, axis=0).T
         a = jnp.where(m2, a, eye)
 
         # prediction covariance vector (src/point_prediction.py:115-125)
@@ -158,7 +199,7 @@ def _local_predict_batch(
         cvec = jnp.concatenate(cvec_parts) * mask
 
         z = jnp.concatenate(
-            [values_tuple[j][idx_parts[j] - offsets[j]] for j in range(p)]
+            [values_tuple[j][idx_local[j]] for j in range(p)]
         )
         z = z * mask
 
@@ -190,7 +231,14 @@ class LocalPredictor:
         mod,
         mf,
         covariates: Optional[pd.DataFrame] = None,
+        materialize_cov: bool = True,
     ) -> None:
+        """``materialize_cov=False`` skips precomputing the n x n joint
+        data covariance; each local system is instead assembled from its
+        gathered neighborhood coordinates inside the vmapped program.
+        Slightly more flops per location, O(n) memory total — use it when
+        the data no longer fits as an n x n matrix (n >~ 50k on one chip;
+        the estimation-side analog is estimate.vecchia)."""
         if mod.n_procs != mf.n_procs:
             raise ValueError(
                 "Number of theoretical processes different from empirical processes."
@@ -199,6 +247,7 @@ class LocalPredictor:
         self.mod = mod
         self.mf = mf
         self.covariates = covariates
+        self.materialize_cov = bool(materialize_cov)
         # joint covariance on the main grid, assembled once in one jit'd
         # program (reference _cov_blocks, src/point_prediction.py:98-113)
         from cokriging_tpu.cov.matern import joint_covariance_from_coords
@@ -221,9 +270,17 @@ class LocalPredictor:
             coords.append(jnp.asarray(c))
             values.append(jnp.asarray(v))
             n_valid.append(n)
-        self.joint_cov = joint_covariance_from_coords(
-            mod.params, coords, mf.geodesic
-        )
+        if self.materialize_cov:
+            self.joint_cov = joint_covariance_from_coords(
+                mod.params, coords, mf.geodesic
+            )
+        else:
+            # dtype-carrying placeholder (matches what the materialized
+            # matrix's dtype would be); the direct_cov program never
+            # reads its values
+            self.joint_cov = jnp.zeros(
+                (1, 1), jnp.asarray(mod.params.sigma).dtype
+            )
         self._coords = tuple(coords)
         self._values = tuple(values)
         self._sizes = tuple(int(v.shape[0]) for v in self._values)
@@ -277,6 +334,7 @@ class LocalPredictor:
             k_each,
             _cv,
             tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid),
+            direct_cov=not self.materialize_cov,
         )
         pred, err = np.asarray(pred), np.asarray(err)
         nan_mask = np.isnan(pred)

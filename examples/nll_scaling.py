@@ -5,6 +5,9 @@ One NLL evaluation = assemble the (n1+n2) joint Matern covariance, one
 Cholesky, two triangular solves, plus the reverse-mode gradient in the same
 call. Distances are precomputed once (they are parameter-independent).
 Runs at f32 on TPU (MXU Cholesky), f64 elsewhere.
+
+Past this path's O(n^2)-memory ceiling (~25k obs on one v5e chip), see
+examples/vecchia_scaling.py — the O(N m^3) Vecchia approximation.
 """
 
 import pathlib
