@@ -1,0 +1,102 @@
+"""Large-n workflow: likelihood fit + cokriging WITHOUT any n^2 object.
+
+The reference tops out at a few thousand observations (n x n NumPy
+matrices in RAM, src/fields.py:192-206; one joint Cholesky,
+src/joint_prediction.py:68-73). This framework's exact paths already push
+that to n ~ 25k on one chip; this example shows the pair of estimators
+that removes the ceiling entirely:
+
+  1. fit:     estimate.vecchia.fit_vecchia — O(N m) memory, O(N m^3) flops
+  2. predict: LocalPredictor(materialize_cov=False) — local systems
+              assembled on the fly from gathered neighborhood coords
+
+Both are exact-by-construction in their conventions (tests pin them to
+the dense paths); nothing in the pipeline materializes an n x n matrix.
+Sizes auto-scale to the backend (TPU f32 fast path / CPU f64 small).
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams, MultivariateMatern
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.estimate.vecchia import fit_vecchia
+    from cokriging_tpu.fields.field import Field, MultiField
+    from cokriging_tpu.predict import LocalPredictor
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 40_000 if on_tpu else 300         # per process
+    n_pred = 6_000 if on_tpu else 100
+    m = 30 if on_tpu else 12
+    print(f"backend={jax.default_backend()} n/process={n} m={m}")
+
+    # synthetic CONUS-like bivariate field: shared smooth signal + noise
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(24.0, 50.0, n)
+    lon = rng.uniform(-124.0, -67.0, n)
+    base = np.sin(np.deg2rad(lat) * 6.0) + 0.5 * np.cos(np.deg2rad(lon) * 4.0)
+    c1 = np.column_stack([lat, lon])
+    c2 = np.column_stack([lat, lon])[::-1]
+    z1 = base + 0.3 * rng.normal(size=n)
+    z2 = -0.6 * base[::-1] + 0.3 * rng.normal(size=n)
+    z1 = (z1 - z1.mean()) / z1.std()
+    z2 = (z2 - z2.mean()) / z2.std()
+
+    fields = []
+    for c, z, name in ((c1, z1, "XCO2"), (c2, z2, "SIF")):
+        f = Field.from_arrays(c, z, name)
+        f.geodesic = True
+        fields.append(f)
+    mf = MultiField(fields=fields)
+
+    spec = ParamSpec(n_procs=2)
+    init = MaternParams.default(2, spec).with_flat(
+        jnp.asarray(
+            [1.0, 1.0, 1.5, 1.5, 1.5, 500.0, 500.0, 500.0, 0.05, 0.05, 0.0]
+        )
+    )
+
+    t0 = time.perf_counter()
+    params, info = fit_vecchia(
+        mf, init=init, m=m, maxiter=40, main=False, chunk=4096
+    )
+    t_fit = time.perf_counter() - t0
+    print(
+        f"vecchia fit: nll={info['nll']:.2f} evals={info['n_obj_evals']} "
+        f"({t_fit:.1f}s, N={info['n']})"
+    )
+    print(f"fitted rho = {float(params.rho[0, 1]):+.3f} (signal is negative)")
+
+    # O(n)-memory cokriging of SIF on a fresh grid
+    glat = np.linspace(25.0, 49.0, int(np.sqrt(n_pred)))
+    glon = np.linspace(-123.0, -68.0, int(np.sqrt(n_pred)))
+    gg = np.stack(np.meshgrid(glat, glon), -1).reshape(-1, 2)
+    mod = MultivariateMatern(params=params)
+    lp = LocalPredictor(mod, mf, materialize_cov=False)
+    t0 = time.perf_counter()
+    out = lp(1, gg, max_dist=800.0, postprocess=False)
+    t_pred = time.perf_counter() - t0
+    ok = np.isfinite(out["pred"].values)
+    print(
+        f"direct-cov local cokriging: {len(gg)} cells in {t_pred:.1f}s, "
+        f"{int(ok.sum())} finite, mean err {np.nanmean(out['pred_err']):.3f}"
+    )
+    assert float(params.rho[0, 1]) < 0.0
+    assert ok.mean() > 0.95
+
+
+if __name__ == "__main__":
+    main()
