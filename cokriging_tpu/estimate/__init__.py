@@ -8,6 +8,7 @@ from cokriging_tpu.estimate.nll import neg_log_likelihood, fit_nll  # noqa: F401
 from cokriging_tpu.estimate.vecchia import (  # noqa: F401
     VecchiaLikelihood,
     fit_vecchia,
+    fit_vecchia_device,
     maxmin_order,
     vecchia_nll,
 )

@@ -320,6 +320,132 @@ class VecchiaLikelihood:
         )
 
 
+def make_device_vecchia_lbfgs_fitter(
+    spec: ParamSpec,
+    geodesic: bool,
+    maxiter: int = 200,
+    tol: float = 1e-6,
+    memory_size: int = 15,
+    chunk: int = 4096,
+):
+    """Fully on-device L-BFGS Vecchia-likelihood fitter — optax.lbfgs with
+    zoom linesearch over the sigmoid-box-transformed objective in ONE
+    `lax.while_loop` program (same architecture as
+    estimate.nll.make_device_nll_lbfgs_fitter: on TPU the host scipy
+    driver pays a device-relay round trip per objective eval; this pays
+    one dispatch for the whole fit).
+
+    Returns fit(x0, windows) -> (x, nll) where ``windows`` is a
+    VecchiaLikelihood's ``_win`` tuple.
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    from cokriging_tpu.estimate.nll import _clean_grad
+
+    lo_np, hi_np = spec.bounds()
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=25, initial_guess_strategy="one"
+        ),
+    )
+
+    def fit(x0, windows):
+        n = windows[0].shape[0]
+        dt = windows[0].dtype
+        lo = jnp.asarray(lo_np, dt)
+        hi = jnp.asarray(hi_np, dt)
+
+        def raw(u):
+            x = lo + (hi - lo) * jax.nn.sigmoid(u)
+            total = _windows_nll_sum(x, windows, spec, geodesic, chunk)
+            return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+
+        @jax.custom_vjp
+        def obj(u):
+            return raw(u)
+
+        def fwd(u):
+            v, g = jax.value_and_grad(raw)(u)
+            return v, _clean_grad(g)
+
+        def bwd(g_clean, ct):
+            return (ct * g_clean,)
+
+        obj.defvjp(fwd, bwd)
+        value_and_grad = optax.value_and_grad_from_state(obj)
+
+        z0 = jnp.clip((jnp.asarray(x0, dt) - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+        u0 = jnp.log(z0) - jnp.log1p(-z0)
+
+        def step(carry):
+            u, state = carry
+            value, grad = value_and_grad(u, state=state)
+            updates, state = opt.update(
+                grad, state, u, value=value, grad=grad, value_fn=obj
+            )
+            u = optax.apply_updates(u, updates)
+            return u, state
+
+        def continuing(carry):
+            _, state = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            err = otu.tree_l2_norm(grad)
+            return (count == 0) | ((count < maxiter) & (err >= tol))
+
+        u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
+        v = obj(u)
+        return lo + (hi - lo) * jax.nn.sigmoid(u), v
+
+    return fit
+
+
+def fit_vecchia_device(
+    mf,
+    init: Optional[MaternParams] = None,
+    m: int = 30,
+    use_measurement_var: bool = False,
+    maxiter: int = 200,
+    main: bool = True,
+    chunk: int = 4096,
+) -> Tuple[MaternParams, dict]:
+    """Vecchia-likelihood fit entirely on device as ONE compiled program
+    (companion to estimate.nll.fit_nll_device). Same optimum as the host
+    fit_vecchia driver; one dispatch instead of per-eval relay latency."""
+    init = init or MaternParams.default(mf.n_procs)
+    spec = init.spec
+    coords = [f.coords_main if main else f.coords for f in mf.fields]
+    values = [f.values_main if main else f.values for f in mf.fields]
+    mvl = None
+    if use_measurement_var:
+        mvl = [
+            f.measurement_var
+            if f.measurement_var is not None
+            else np.zeros(f.size)
+            for f in mf.fields
+        ]
+    lik = VecchiaLikelihood(
+        coords, values, m=m, geodesic=mf.geodesic,
+        measurement_var_list=mvl, chunk=chunk,
+    )
+    fitter = jax.jit(
+        make_device_vecchia_lbfgs_fitter(
+            spec, lik.geodesic, maxiter=maxiter, chunk=chunk
+        )
+    )
+    x, nll = fitter(init.to_flat(), lik._win)
+    params = MaternParams.from_flat(x, spec=spec)
+    return params, {
+        "nll": float(nll),
+        "success": bool(np.isfinite(float(nll))),
+        "n_iter": maxiter,
+        "m": lik.m,
+        "n": lik.n,
+    }
+
+
 def fit_vecchia(
     mf,
     init: Optional[MaternParams] = None,

@@ -176,3 +176,33 @@ def test_fit_vecchia_matches_exact_nll_optimum(sim_data):
 
         ratio = micro(params_v) / micro(params_e)
         assert 0.5 < ratio < 2.0, (k, ratio)
+
+
+def test_fit_vecchia_device_matches_host(sim_data):
+    """The one-dispatch on-device L-BFGS fitter reaches the same Vecchia
+    optimum as the host scipy driver (companion to
+    tests/test_nll.py::test_device_lbfgs_matches_scipy_optimum)."""
+    truth, coords, values = sim_data
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.estimate.vecchia import fit_vecchia_device
+    from cokriging_tpu.fields.field import Field, MultiField
+
+    fields = []
+    for k in range(2):
+        f = Field.from_arrays(coords[k], values[k], f"Z{k}")
+        f.geodesic = False
+        fields.append(f)
+    mf = MultiField(fields=fields)
+    spec = ParamSpec(
+        n_procs=2, len_scale_bounds=(0.05, 2.0), sigma_bounds=(0.2, 3.0)
+    )
+    init = MaternParams.default(2, spec).with_flat(
+        jnp.asarray([1.0, 1.0, 1.5, 1.5, 1.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.0])
+    )
+    kw = dict(init=init, m=15, maxiter=80, main=False, chunk=64)
+    p_dev, i_dev = fit_vecchia_device(mf, **kw)
+    p_host, i_host = fit_vecchia(mf, **kw)
+    assert i_dev["nll"] <= i_host["nll"] + max(0.5, 5e-3 * abs(i_host["nll"]))
+    np.testing.assert_allclose(
+        float(p_dev.rho[0, 1]), float(p_host.rho[0, 1]), atol=0.1
+    )
