@@ -13,10 +13,11 @@ the reference's conventions (reference: src/model.py:173-247):
   sigma_i * sigma_j for p = 2).
 - ``semivariance(i, h)`` = sigma_i^2 (1 - M_ii(h)) + tau_i^2
   (src/model.py:209-213).
-- ``cross_semivariance(i, j, h)`` = sill - C_ij(h) with
-  sill = 0.5 * sum_k(sigma_k^2 + tau_k^2) (src/model.py:215-222; for
-  p = 2 this equals the pairwise sill 0.5 (sigma_i^2+tau_i^2+sigma_j^2+
-  tau_j^2) — we keep the reference's all-process sum for parity).
+- ``cross_semivariance(i, j, h)`` = sill - C_ij(h) with the PAIR sill
+  0.5 (sigma_i^2 + tau_i^2 + sigma_j^2 + tau_j^2). At p = 2 this is
+  bitwise-equal to the reference's all-process sum (src/model.py:215-222);
+  for p > 2 the pair sill is the statistically correct generalization
+  (the reference is bivariate-only there).
 
 A thin ``MultivariateMatern`` class provides the reference's OO surface
 (correlation/covariance/.../variograms/fit) on top of these functions.
