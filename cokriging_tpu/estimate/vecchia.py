@@ -186,15 +186,23 @@ def _chunk_nll(flat, spec, win, geodesic):
         cov = cov + jnp.diag(mvi)
         # identity lanes for masked (absent) neighbors
         m2 = mi[:, None] & mi[None, :]
-        cov = jnp.where(m2, cov, jnp.eye(m1, dtype=cov.dtype))
-        chol = jax.lax.linalg.cholesky(cov)
+        eye = jnp.eye(m1, dtype=cov.dtype)
+        cov = jnp.where(m2, cov, eye)
+        # Non-PD parameter points must yield a finite penalty AND finite
+        # gradients. Selecting after the fact is not enough: even with a
+        # zero cotangent, cholesky's VJP computes with its NaN primal
+        # (0 * nan = nan), which poisons L-BFGS curvature memory and
+        # silently stalls fits near their init. So: detect badness on a
+        # stop_gradient probe, then sanitize the *input* of the
+        # differentiable factorization (identity when bad -> the AD path
+        # never sees a failed factor; gradients are exactly zero there).
+        probe = jax.lax.linalg.cholesky(jax.lax.stop_gradient(cov))
+        bad = jnp.any(jnp.isnan(probe))
+        chol = jax.lax.linalg.cholesky(jnp.where(bad, eye, cov))
         u = jax.lax.linalg.triangular_solve(
             chol, zi[:, None], left_side=True, lower=True
         )[:, 0]
         ll = u[-1] ** 2 + 2.0 * log_precise(chol[-1, -1])
-        # non-PD parameter points: NaN factor -> large finite penalty so
-        # line searches back off (same convention as estimate/nll.py)
-        bad = jnp.isnan(chol[-1, -1]) | jnp.isnan(u[-1])
         return jnp.where(bad, jnp.asarray(2e6, cov.dtype), ll)
 
     return jnp.sum(jax.vmap(one)(coords, z, procs, mask, mvar))
@@ -519,7 +527,13 @@ def fit_vecchia(
     def fun(u):
         evals["n"] += 1
         v, g = value_and_grad_u(jnp.asarray(u))
-        return float(v), np.asarray(g)
+        g = np.asarray(g)
+        # zero any non-finite gradient entries (penalty-region probes)
+        # instead of feeding them to L-BFGS, whose curvature memory a
+        # single NaN poisons permanently (estimate/nll.py:_clean_grad)
+        g = np.where(np.isfinite(g), g, 0.0)
+        v = float(v) if np.isfinite(v) else 1e10
+        return v, g
 
     # tight ftol/gtol: under the sigmoid box reparameterization the
     # objective flattens near saturated bounds, and the scipy defaults

@@ -78,6 +78,18 @@ def main():
     print("NLL fit:  ", np.round(np.asarray(p_nll.to_flat()), 3).tolist())
     print("truth:    ", TRUTH, f"(NLL {info['nll']:.2f}, {info['n_iter']} iters)")
 
+    # --- parameter recovery: Vecchia approximation (the large-N estimator,
+    #     validated here on the same small cofield) ---
+    from cokriging_tpu.estimate.vecchia import fit_vecchia
+
+    p_vec, info_v = fit_vecchia(mf, init=init, m=25, maxiter=80, main=False)
+    print(
+        "Vecchia:  ",
+        np.round(np.asarray(p_vec.to_flat()), 3).tolist(),
+        f"(m={info_v['m']}, nll {info_v['nll']:.2f})",
+    )
+    assert abs(float(p_vec.rho[0, 1]) - TRUTH[-1]) < 0.25
+
     # --- prediction with the truth model ---
     pcoords = grid.coords.values
     jp = JointPredictor(mod_truth, mf)

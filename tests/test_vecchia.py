@@ -119,6 +119,24 @@ def test_modest_m_close_to_exact_and_grad_finite(sim_data):
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_gradient_finite_at_non_pd_parameters(sim_data):
+    """At a non-PD parameter point (|rho| ~ 1 with colocated cross-process
+    samples) each term's Cholesky is NaN. The value must be the finite
+    penalty AND the gradient must be finite: jnp.where alone does not
+    stop reverse-mode from evaluating the NaN branch, so the factor is
+    sanitized before use (the bug that silently stalled the host L-BFGS
+    near its init — cross-parameters never moved)."""
+    truth, coords, values = sim_data
+    lik = VecchiaLikelihood(coords, values, m=15, geodesic=False, chunk=64)
+    bad_flat = jnp.asarray(
+        [1.1, 0.9, 1.5, 1.5, 1.4, 0.25, 0.25, 0.27, 0.0, 0.0, 0.9999]
+    )
+    v, g = jax.value_and_grad(lambda f: lik.nll(f, truth.spec))(bad_flat)
+    assert np.isfinite(float(v))
+    assert float(v) > 1e5  # penalty regime
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_fit_vecchia_matches_exact_nll_optimum(sim_data):
     """The Vecchia fit must land where the exact-likelihood fit lands.
 
