@@ -93,16 +93,28 @@ def neg_log_likelihood(
             diag_extra = diag_extra + measurement_var
         return cov + jnp.diag(diag_extra)
 
-    def _factor(f):
+    def _factor(f, ad_safe=False):
         cov = jax.checkpoint(_assemble)(f)
         n = cov.shape[0]
-        chol = jnp.linalg.cholesky(cov)
         # Non-PD parameter points (e.g. rho at +-1 with colocated samples)
         # make the factorization NaN; return a large finite penalty with
         # clean gradients instead so line searches can back off rather
-        # than abort.
-        bad = jnp.any(jnp.isnan(chol))
-        chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
+        # than abort. ``ad_safe`` (the plain-AD small-n branch) must
+        # sanitize the factorization INPUT: replacing the NaN factor after
+        # the fact leaves cholesky's VJP computing with its NaN primal
+        # (0 * nan = nan), which poisons L-BFGS curvature memory. The
+        # analytic-gradient branch never differentiates through the
+        # factorization, so it skips the extra probe Cholesky.
+        if ad_safe:
+            probe = jnp.linalg.cholesky(jax.lax.stop_gradient(cov))
+            bad = jnp.any(jnp.isnan(probe))
+            chol = jnp.linalg.cholesky(
+                jnp.where(bad, jnp.eye(n, dtype=cov.dtype), cov)
+            )
+        else:
+            chol = jnp.linalg.cholesky(cov)
+            bad = jnp.any(jnp.isnan(chol))
+            chol = jnp.where(bad, jnp.eye(n, dtype=cov.dtype), chol)
         alpha = jax.scipy.linalg.solve_triangular(chol, z, lower=True)
         # log_precise: TPU's f32 hw log has ~1e-4 abs error per element,
         # which a 25k-term logdet sum turns into O(1) absolute NLL error
@@ -117,7 +129,7 @@ def neg_log_likelihood(
         return jnp.where(bad, penalty, nll), (chol, alpha, bad)
 
     if not analytic_grad:
-        return _factor(flat)[0]
+        return _factor(flat, ad_safe=True)[0]
 
     @jax.custom_vjp
     def _nll(f):

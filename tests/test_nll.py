@@ -179,3 +179,30 @@ def test_device_lbfgs_matches_scipy_optimum(sim_mf):
     # Same optimum within a tight absolute NLL tolerance (the surface is
     # flat in nu near the optimum, so compare objective, not parameters).
     assert info_d["nll"] <= info_h["nll"] + 0.05 * abs(info_h["nll"]) + 0.5
+
+
+def test_ad_gradient_finite_at_non_pd_parameters():
+    """The plain-AD branch (n <= 4096, all small fits) must return finite
+    gradients at non-PD parameter points: post-hoc factor replacement is
+    not enough (cholesky's VJP computes with its NaN primal even under a
+    zero cotangent), so the factorization input is sanitized via a
+    stop_gradient probe. Companion to
+    tests/test_vecchia.py::test_gradient_finite_at_non_pd_parameters."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    c1 = rng.uniform(0, 1, (50, 2))
+    c2 = np.concatenate([c1[:25], rng.uniform(0, 1, (25, 2))])
+    dists = joint_distance_blocks(
+        [jnp.asarray(c1), jnp.asarray(c2)], geodesic=False
+    )
+    z = jnp.asarray(rng.normal(size=100))
+    spec = MaternParams.default(2).spec
+    bad = jnp.asarray(
+        [1.1, 0.9, 1.5, 1.5, 1.4, 0.25, 0.25, 0.27, 0.0, 0.0, 0.9999]
+    )
+    v, g = jax.value_and_grad(
+        lambda f: neg_log_likelihood(f, dists, z, spec, analytic_grad=False)
+    )(bad)
+    assert np.isfinite(float(v)) and float(v) > 1e5
+    assert np.isfinite(np.asarray(g)).all()
