@@ -29,6 +29,14 @@ def main(argv=None):
                             "processes, all zeros otherwise)")
     p_fit.add_argument("--max-dist", type=float, default=1.5e3)
     p_fit.add_argument("--n-bins", type=int, default=15)
+    p_fit.add_argument("--method", choices=["wls", "nll", "vecchia"],
+                       default="wls",
+                       help="estimator: composite variogram WLS (the "
+                            "reference's), exact Gaussian NLL, or the "
+                            "Vecchia-approximation NLL (large n)")
+    p_fit.add_argument("--m-neighbors", type=int, default=30,
+                       help="Vecchia conditioning-set size")
+    p_fit.add_argument("--maxiter", type=int, default=200)
     p_fit.add_argument("--project-validity", action="store_true",
                        help="project the WLS optimum onto the exact spectral "
                             "validity region (guarantees a PD joint covariance "
@@ -84,21 +92,36 @@ def main(argv=None):
             main_coords=main_coords_array(),
         )
         if args.cmd == "fit":
-            from cokriging_tpu.estimate import VarioConfig, empirical_variograms
-            from cokriging_tpu.estimate.wls import fit_wls
+            if args.method == "wls":
+                from cokriging_tpu.estimate import (
+                    VarioConfig,
+                    empirical_variograms,
+                )
+                from cokriging_tpu.estimate.wls import fit_wls, moment_init
 
-            from cokriging_tpu.estimate.wls import moment_init
+                est = empirical_variograms(
+                    mf, VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins)
+                )
+                params, result = fit_wls(
+                    est, init=moment_init(est), maxiter=args.maxiter,
+                    project_validity=args.project_validity,
+                )
+                quality = f"cost {result.cost:.6g}"
+            elif args.method == "nll":
+                from cokriging_tpu.estimate.nll import fit_nll
 
-            est = empirical_variograms(
-                mf, VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins)
-            )
-            params, result = fit_wls(
-                est, init=moment_init(est),
-                project_validity=args.project_validity,
-            )
+                params, info = fit_nll(mf, maxiter=args.maxiter)
+                quality = f"nll {info['nll']:.6g}"
+            else:
+                from cokriging_tpu.estimate.vecchia import fit_vecchia
+
+                params, info = fit_vecchia(
+                    mf, m=args.m_neighbors, maxiter=args.maxiter
+                )
+                quality = f"vecchia nll {info['nll']:.6g} (m={info['m']})"
             save_params(args.out, params, metadata={"timestamp": args.timestamp})
             print(params.to_dataframe().to_string(index=False))
-            print(f"cost {result.cost:.6g} -> {args.out}")
+            print(f"{quality} -> {args.out}")
         else:
             from cokriging_tpu.cov import MultivariateMatern
             from cokriging_tpu.predict import LocalPredictor

@@ -88,6 +88,27 @@ def test_cli_fit_predict_roundtrip(tmp_path, n_procs):
     assert (out["pred_err"].values >= 0).all()
 
 
+def test_cli_fit_method_vecchia(tmp_path):
+    """--method vecchia fits by the Vecchia-approximation likelihood and
+    saves a loadable parameter file (the large-n estimator behind the same
+    staged-artifact CLI surface)."""
+    rng = np.random.default_rng(2)
+    paths = []
+    for k, name in enumerate(["xco2", "sif"]):
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, _staged_table(name, rng, own_seed=200 + k))
+        paths.append(str(p))
+    out = tmp_path / "pv.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", "0", "0", "--method", "vecchia",
+         "--m-neighbors", "12", "--maxiter", "25", "--out", str(out)]
+    )
+    params = load_params(out)
+    assert params.n_procs == 2
+    assert np.isfinite(np.asarray(params.to_flat())).all()
+
+
 def test_cli_timedeltas_length_mismatch_errors(tmp_path):
     rng = np.random.default_rng(1)
     p = tmp_path / "a.parquet"
