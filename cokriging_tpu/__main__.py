@@ -27,8 +27,10 @@ def main(argv=None):
     p_fit.add_argument("--timedeltas", nargs="+", type=int, default=None,
                        help="per-process month offsets (default: 0 -1 for two "
                             "processes, all zeros otherwise)")
-    p_fit.add_argument("--max-dist", type=float, default=1.5e3)
-    p_fit.add_argument("--n-bins", type=int, default=15)
+    p_fit.add_argument("--max-dist", type=float, default=1.5e3,
+                       help="variogram range cutoff, km (--method wls only)")
+    p_fit.add_argument("--n-bins", type=int, default=15,
+                       help="variogram bin count (--method wls only)")
     p_fit.add_argument("--method", choices=["wls", "nll", "vecchia"],
                        default="wls",
                        help="estimator: composite variogram WLS (the "
@@ -38,9 +40,10 @@ def main(argv=None):
                        help="Vecchia conditioning-set size")
     p_fit.add_argument("--maxiter", type=int, default=200)
     p_fit.add_argument("--project-validity", action="store_true",
-                       help="project the WLS optimum onto the exact spectral "
-                            "validity region (guarantees a PD joint covariance "
-                            "for prediction; pairwise Gneiting bound)")
+                       help="project the fitted optimum (any --method) onto "
+                            "the exact spectral validity region (guarantees a "
+                            "PD joint covariance for prediction; pairwise "
+                            "Gneiting bound)")
     p_fit.add_argument("--out", default="params.npz")
 
     p_pred = sub.add_parser("predict", help="cokrige a fitted month")
@@ -119,6 +122,13 @@ def main(argv=None):
                     mf, m=args.m_neighbors, maxiter=args.maxiter
                 )
                 quality = f"vecchia nll {info['nll']:.6g} (m={info['m']})"
+            if args.method != "wls" and args.project_validity:
+                # the WLS driver projects inside fit_wls; for the
+                # likelihood estimators project the optimum here so the
+                # flag means the same thing for every --method
+                from cokriging_tpu.cov.spectral import project_to_valid
+
+                params = project_to_valid(params)
             save_params(args.out, params, metadata={"timestamp": args.timestamp})
             print(params.to_dataframe().to_string(index=False))
             print(f"{quality} -> {args.out}")

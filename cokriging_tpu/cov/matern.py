@@ -386,6 +386,35 @@ def variogram_value(params: MaternParams, i: int, j: int, h, covariogram=False):
     return cross_semivariance(params, i, j, h)
 
 
+def gathered_covariance(params: MaternParams, d, procs_a, procs_b=None):
+    """Pointwise mixed-process covariance from gathered process ids.
+
+    Entry (a, b) applies the reference's conventions to the process pair
+    (procs_a[a], procs_b[b]) at distance d[a, b]: sigma_i^2 M_ii for same-
+    process pairs with the nugget on exact-zero distances, and
+    rho_ij sigma_i sigma_j M_ij across processes (src/model.py:193-207).
+
+    This is the single gather-indexed formulation shared by the Vecchia
+    term windows (estimate.vecchia) and the direct-assembly local predictor
+    (predict.local, materialize_cov=False); ``block_covariance`` is its
+    block-structured counterpart for process-sorted observation stacks.
+    Broadcasts over leading batch dimensions.
+    """
+    if procs_b is None:
+        procs_b = procs_a
+    pa = procs_a[..., :, None]
+    pb = procs_b[..., None, :]
+    same = pa == pb
+    sig = params.sigma
+    corr = _matern_corr_raw(params.nu[pa, pb], params.len_scale[pa, pb], d)
+    amp = jnp.where(
+        same, sig[pa] ** 2, params.rho[pa, pb] * sig[pa] * sig[pb]
+    )
+    return amp * corr + jnp.where(
+        same & (jnp.asarray(d) == 0.0), params.nugget[pa], 0.0
+    )
+
+
 def joint_covariance_from_coords(
     params: MaternParams, coords_tuple, geodesic, use_pallas: bool = False
 ):

@@ -163,12 +163,14 @@ def _pass_bin(
         for b in range(n_bins):
             sel = valid & (idx == b)
             bin_sums.append(jnp.sum(jnp.where(sel, cloud, 0.0)))
-            bin_counts.append(jnp.sum(sel.astype(d.dtype)))
+            # int32 accumulation: f32 loses count exactness past 2^24
+            # (~17M pairs/bin, reached at the n~25k all-pairs stream)
+            bin_counts.append(jnp.sum(sel, dtype=jnp.int32))
         sums = sums + jnp.stack(bin_sums)
         counts = counts + jnp.stack(bin_counts)
         return sums, counts
 
-    init = (jnp.zeros(n_bins, ca.dtype), jnp.zeros(n_bins, ca.dtype))
+    init = (jnp.zeros(n_bins, ca.dtype), jnp.zeros(n_bins, jnp.int32))
     return jax.lax.fori_loop(0, n_blocks, body, init)
 
 
@@ -334,6 +336,14 @@ def _all_pairs_program(
         # snap to exact 0 below the tolerance, as haversine_matrix does
         dmin = jnp.where(dmin > ZERO_SNAP, dmin, 0.0)
         dmax = jnp.where(dmax > ZERO_SNAP, dmax, 0.0)
+        # No pairs within max_dist leaves hmin/hmax at +-inf. The geodesic
+        # _d_of_h clips them to finite [0, pi R], which would silently pass
+        # the host-side finiteness guard and hand the fit decreasing bin
+        # centers with all-NaN means; propagate NaN so the guard fires for
+        # both coordinate systems (the Euclidean sqrt(inf)=inf already does).
+        empty = ~(jnp.isfinite(hmin) & jnp.isfinite(hmax))
+        dmin = jnp.where(empty, jnp.nan, dmin)
+        dmax = jnp.where(empty, jnp.nan, dmax)
 
         centers = jnp.linspace(dmin, dmax, n_bins)
         width = centers[1] - centers[0]
@@ -368,14 +378,16 @@ def _all_pairs_program(
                 for b in range(n_bins):
                     sel = valid & (idx == b)
                     bs.append(jnp.sum(jnp.where(sel, cloud, 0.0)))
-                    bc.append(jnp.sum(sel.astype(h.dtype)))
+                    # int32 accumulation: f32 loses count exactness past
+                    # 2^24 pairs/bin (reached at the n~25k all-pairs stream)
+                    bc.append(jnp.sum(sel, dtype=jnp.int32))
                 return sums + jnp.stack(bs), counts + jnp.stack(bc)
 
             if marginal:
                 return jax.lax.cond(cb_ >= rb, compute, lambda c: c, carry)
             return compute(carry)
 
-        init = (jnp.zeros(n_bins, coords.dtype), jnp.zeros(n_bins, coords.dtype))
+        init = (jnp.zeros(n_bins, coords.dtype), jnp.zeros(n_bins, jnp.int32))
         sums, counts = jax.lax.fori_loop(0, nb * nb, bin_body, init)
         all_centers.append(centers)
         all_sums.append(sums)

@@ -192,29 +192,71 @@ def _nll_u_value_and_grad(u, lo, hi, dists, z, spec, measurement_var, jitter):
     return v, _clean_grad(g)
 
 
-def _make_clean_objective(lo, hi, dists, z, spec, measurement_var, jitter):
-    """Sigmoid-box-transformed NLL objective whose *gradients* are clean by
-    construction (custom VJP zeroes non-finite entries). Needed so the zoom
-    linesearch inside on-device L-BFGS can probe non-PD penalty points
-    without poisoning the curvature memory with NaNs."""
+def sigmoid_box_lbfgs(
+    raw, x0, lo, hi, maxiter: int = 200, tol: float = 1e-6,
+    memory_size: int = 15,
+):
+    """Minimize ``raw(x)`` over the box [lo, hi] with on-device optax
+    L-BFGS (zoom linesearch) under the sigmoid reparameterization
+    x = lo + (hi - lo) * sigmoid(u) — ONE `lax.while_loop` program.
 
-    def raw(u):
-        x = lo + (hi - lo) * jax.nn.sigmoid(u)
-        return neg_log_likelihood(x, dists, z, spec, measurement_var, jitter)
+    Gradients are cleaned by construction (custom VJP zeroes non-finite
+    entries) so the linesearch can probe non-PD penalty points without
+    poisoning the curvature memory with NaNs. Shared by the exact-NLL and
+    Vecchia device fitters.
+
+    Returns (x, value, n_iter) — n_iter is the actual L-BFGS step count.
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=25, initial_guess_strategy="one"
+        ),
+    )
+
+    def raw_u(u):
+        return raw(lo + (hi - lo) * jax.nn.sigmoid(u))
 
     @jax.custom_vjp
     def obj(u):
-        return raw(u)
+        return raw_u(u)
 
     def fwd(u):
-        v, g = jax.value_and_grad(raw)(u)
+        v, g = jax.value_and_grad(raw_u)(u)
         return v, _clean_grad(g)
 
     def bwd(g_clean, ct):
         return (ct * g_clean,)
 
     obj.defvjp(fwd, bwd)
-    return obj
+    value_and_grad = optax.value_and_grad_from_state(obj)
+
+    z0 = jnp.clip((x0 - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+    u0 = jnp.log(z0) - jnp.log1p(-z0)
+
+    def step(carry):
+        u, state = carry
+        value, grad = value_and_grad(u, state=state)
+        updates, state = opt.update(
+            grad, state, u, value=value, grad=grad, value_fn=obj
+        )
+        u = optax.apply_updates(u, updates)
+        return u, state
+
+    def continuing(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        err = otu.tree_l2_norm(grad)
+        return (count == 0) | ((count < maxiter) & (err >= tol))
+
+    u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
+    v = obj(u)
+    n_iter = otu.tree_get(state, "count")
+    return lo + (hi - lo) * jax.nn.sigmoid(u), v, n_iter
 
 
 def make_device_nll_lbfgs_fitter(
@@ -227,50 +269,24 @@ def make_device_nll_lbfgs_fitter(
     agreement) while paying ONE dispatch instead of per-eval host relay
     latency — the right default on TPU.
 
-    Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll).
+    Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll, n_iter).
     """
-    import optax
-    import optax.tree_utils as otu
-
     lo_np, hi_np = spec.bounds()
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=25, initial_guess_strategy="one"
-        ),
-    )
 
     def fit(x0, dists, z, measurement_var, jitter):
         dt = z.dtype
         lo = jnp.asarray(lo_np, dt)
         hi = jnp.asarray(hi_np, dt)
-        obj = _make_clean_objective(
-            lo, hi, dists, z, spec, measurement_var, jitter
-        )
-        value_and_grad = optax.value_and_grad_from_state(obj)
 
-        z0 = jnp.clip((jnp.asarray(x0, dt) - lo) / (hi - lo), 1e-6, 1 - 1e-6)
-        u0 = jnp.log(z0) - jnp.log1p(-z0)
-
-        def step(carry):
-            u, state = carry
-            value, grad = value_and_grad(u, state=state)
-            updates, state = opt.update(
-                grad, state, u, value=value, grad=grad, value_fn=obj
+        def raw(x):
+            return neg_log_likelihood(
+                x, dists, z, spec, measurement_var, jitter
             )
-            u = optax.apply_updates(u, updates)
-            return u, state
 
-        def continuing(carry):
-            _, state = carry
-            count = otu.tree_get(state, "count")
-            grad = otu.tree_get(state, "grad")
-            err = otu.tree_l2_norm(grad)
-            return (count == 0) | ((count < maxiter) & (err >= tol))
-
-        u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
-        v = obj(u)
-        return lo + (hi - lo) * jax.nn.sigmoid(u), v
+        return sigmoid_box_lbfgs(
+            raw, jnp.asarray(x0, dt), lo, hi,
+            maxiter=maxiter, tol=tol, memory_size=memory_size,
+        )
 
     return fit
 
@@ -365,17 +381,20 @@ def fit_nll_device(
         )
     if method == "lbfgs":
         fitter = jax.jit(make_device_nll_lbfgs_fitter(spec, maxiter))
+        x, nll, n_iter = fitter(init.to_flat(), dists, z, mvar, jitter)
+        n_iter = int(n_iter)
     elif method == "adam":
         fitter = jax.jit(make_device_nll_fitter(spec, maxiter))
+        x, nll = fitter(init.to_flat(), dists, z, mvar, jitter)
+        n_iter = maxiter
     else:
         raise ValueError(f"unknown device NLL method: {method!r}")
-    x, nll = fitter(init.to_flat(), dists, z, mvar, jitter)
     params = MaternParams.from_flat(x, spec=spec)
     return params, {
         "nll": float(nll),
         "success": bool(np.isfinite(float(nll))),
-        "n_iter": maxiter,
-        "n_obj_evals": maxiter,
+        "n_iter": n_iter,
+        "n_obj_evals": n_iter,
     }
 
 

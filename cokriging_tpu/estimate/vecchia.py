@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cokriging_tpu.cov.params import MaternParams, ParamSpec
-from cokriging_tpu.cov.matern import _matern_corr_raw
+from cokriging_tpu.cov.matern import gathered_covariance
 from cokriging_tpu.kernels.distance import haversine_matrix, euclidean_matrix
 
 
@@ -169,20 +169,9 @@ def _chunk_nll(flat, spec, win, geodesic):
     def one(c, zi, pi, mi, mvi):
         m1 = c.shape[0]
         d = _dist(c, c, geodesic)
-        pa, pb = pi[:, None], pi[None, :]
-        nu = params.nu[pa, pb]
-        ls = params.len_scale[pa, pb]
-        corr = _matern_corr_raw(nu, ls, d)
-        same = pa == pb
-        sig = params.sigma
-        amp = jnp.where(
-            same,
-            sig[pa] ** 2,
-            params.rho[pa, pb] * sig[pa] * sig[pb],
-        )
-        cov = amp * corr
-        # nugget on exact-zero marginal distances (src/model.py:193-197)
-        cov = cov + jnp.where(same & (d == 0.0), params.nugget[pa], 0.0)
+        # mixed-process conventions (nugget on exact-zero same-process
+        # distances, rho sigma_a sigma_b cross amplitude) live in ONE place
+        cov = gathered_covariance(params, d, pi)
         cov = cov + jnp.diag(mvi)
         # identity lanes for masked (absent) neighbors
         m2 = mi[:, None] & mi[None, :]
@@ -336,28 +325,18 @@ def make_device_vecchia_lbfgs_fitter(
     memory_size: int = 15,
     chunk: int = 4096,
 ):
-    """Fully on-device L-BFGS Vecchia-likelihood fitter — optax.lbfgs with
-    zoom linesearch over the sigmoid-box-transformed objective in ONE
-    `lax.while_loop` program (same architecture as
-    estimate.nll.make_device_nll_lbfgs_fitter: on TPU the host scipy
+    """Fully on-device L-BFGS Vecchia-likelihood fitter: the shared
+    sigmoid-box optax driver (estimate.nll.sigmoid_box_lbfgs) over the
+    Vecchia NLL in ONE `lax.while_loop` program (on TPU the host scipy
     driver pays a device-relay round trip per objective eval; this pays
     one dispatch for the whole fit).
 
-    Returns fit(x0, windows) -> (x, nll) where ``windows`` is a
+    Returns fit(x0, windows) -> (x, nll, n_iter) where ``windows`` is a
     VecchiaLikelihood's ``_win`` tuple.
     """
-    import optax
-    import optax.tree_utils as otu
-
-    from cokriging_tpu.estimate.nll import _clean_grad
+    from cokriging_tpu.estimate.nll import sigmoid_box_lbfgs
 
     lo_np, hi_np = spec.bounds()
-    opt = optax.lbfgs(
-        memory_size=memory_size,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=25, initial_guess_strategy="one"
-        ),
-    )
 
     def fit(x0, windows):
         n = windows[0].shape[0]
@@ -365,47 +344,14 @@ def make_device_vecchia_lbfgs_fitter(
         lo = jnp.asarray(lo_np, dt)
         hi = jnp.asarray(hi_np, dt)
 
-        def raw(u):
-            x = lo + (hi - lo) * jax.nn.sigmoid(u)
+        def raw(x):
             total = _windows_nll_sum(x, windows, spec, geodesic, chunk)
             return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
 
-        @jax.custom_vjp
-        def obj(u):
-            return raw(u)
-
-        def fwd(u):
-            v, g = jax.value_and_grad(raw)(u)
-            return v, _clean_grad(g)
-
-        def bwd(g_clean, ct):
-            return (ct * g_clean,)
-
-        obj.defvjp(fwd, bwd)
-        value_and_grad = optax.value_and_grad_from_state(obj)
-
-        z0 = jnp.clip((jnp.asarray(x0, dt) - lo) / (hi - lo), 1e-6, 1 - 1e-6)
-        u0 = jnp.log(z0) - jnp.log1p(-z0)
-
-        def step(carry):
-            u, state = carry
-            value, grad = value_and_grad(u, state=state)
-            updates, state = opt.update(
-                grad, state, u, value=value, grad=grad, value_fn=obj
-            )
-            u = optax.apply_updates(u, updates)
-            return u, state
-
-        def continuing(carry):
-            _, state = carry
-            count = otu.tree_get(state, "count")
-            grad = otu.tree_get(state, "grad")
-            err = otu.tree_l2_norm(grad)
-            return (count == 0) | ((count < maxiter) & (err >= tol))
-
-        u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
-        v = obj(u)
-        return lo + (hi - lo) * jax.nn.sigmoid(u), v
+        return sigmoid_box_lbfgs(
+            raw, jnp.asarray(x0, dt), lo, hi,
+            maxiter=maxiter, tol=tol, memory_size=memory_size,
+        )
 
     return fit
 
@@ -443,12 +389,12 @@ def fit_vecchia_device(
             spec, lik.geodesic, maxiter=maxiter, chunk=chunk
         )
     )
-    x, nll = fitter(init.to_flat(), lik._win)
+    x, nll, n_iter = fitter(init.to_flat(), lik._win)
     params = MaternParams.from_flat(x, spec=spec)
     return params, {
         "nll": float(nll),
         "success": bool(np.isfinite(float(nll))),
-        "n_iter": maxiter,
+        "n_iter": int(n_iter),
         "m": lik.m,
         "n": lik.n,
     }
@@ -495,7 +441,11 @@ def fit_vecchia(
     )
 
     lo_np, hi_np = spec.bounds()
-    lo, hi = jnp.asarray(lo_np), jnp.asarray(hi_np)
+    # Trace the objective in the windows' dtype: f64 params against f32
+    # windows would otherwise promote mid-scan and crash at trace time
+    # (lax.scan carry dtype mismatch), exactly as fit_vecchia_device casts.
+    win_dt = lik._win[0].dtype
+    lo, hi = jnp.asarray(lo_np, win_dt), jnp.asarray(hi_np, win_dt)
 
     if mesh is not None:
         from cokriging_tpu.parallel import sharded_vecchia_nll
@@ -526,7 +476,7 @@ def fit_vecchia(
 
     def fun(u):
         evals["n"] += 1
-        v, g = value_and_grad_u(jnp.asarray(u))
+        v, g = value_and_grad_u(jnp.asarray(u, win_dt))
         g = np.asarray(g)
         # zero any non-finite gradient entries (penalty-region probes)
         # instead of feeding them to L-BFGS, whose curvature memory a

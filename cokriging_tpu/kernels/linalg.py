@@ -59,8 +59,10 @@ def tri_inv_lower(L, block: int = 512):
         row = jax.lax.dynamic_slice(L, (r, 0), (block, m))
         Lkk = jax.lax.dynamic_slice(row, (0, r), (block, block))
         Akk = jax.scipy.linalg.solve_triangular(Lkk, eye_b, lower=True)
-        prod = row @ X  # (block, m): sum_{j<k} L[k, j] X[j, :]
-        Xk = -(Akk @ prod)
+        # Precision.HIGHEST: the default f32 matmul rides the MXU's bf16
+        # rounding, which would corrupt the inverse feeding NLL gradients.
+        prod = jnp.matmul(row, X, precision=_HIGHEST)
+        Xk = -jnp.matmul(Akk, prod, precision=_HIGHEST)
         Xk = jax.lax.dynamic_update_slice(Xk, Akk, (0, r))
         return jax.lax.dynamic_update_slice(X, Xk, (r, 0))
 
@@ -73,7 +75,7 @@ def spd_inverse_from_chol(chol, block: int = 512):
     triangular inverse (one extra MXU matmul; avoids the square-RHS
     triangular-solve expander — see tri_inv_lower)."""
     linv = tri_inv_lower(chol, block=block)
-    return linv.T @ linv
+    return jnp.matmul(linv.T, linv, precision=_HIGHEST)
 
 
 # ---------------------------------------------------------------------------

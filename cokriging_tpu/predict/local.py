@@ -153,30 +153,16 @@ def _local_predict_batch(
         eye = jnp.eye(k_tot, dtype=joint_cov.dtype)
 
         if direct_cov:
-            # Assemble the local covariance from the gathered coordinates:
-            # per-entry (nu, l, amplitude) via the process-id pair, nugget
-            # on exact-zero marginal distances — identical conventions to
-            # the materialized joint matrix (cov.matern.block_covariance).
-            from cokriging_tpu.cov.matern import _matern_corr_raw
+            # Assemble the local covariance from the gathered coordinates —
+            # identical conventions to the materialized joint matrix
+            # (shared helper cov.matern.gathered_covariance).
+            from cokriging_tpu.cov.matern import gathered_covariance
 
             gc = jnp.concatenate(
                 [coords_tuple[j][idx_local[j]] for j in range(p)]
             )
             dm = _dist(gc, gc, geodesic)
-            pa, pb = pid[:, None], pid[None, :]
-            same = pa == pb
-            corr = _matern_corr_raw(
-                params.nu[pa, pb], params.len_scale[pa, pb], dm
-            )
-            amp = jnp.where(
-                same,
-                params.sigma[pa] ** 2,
-                params.rho[pa, pb] * params.sigma[pa] * params.sigma[pb],
-            )
-            a = amp * corr + jnp.where(
-                same & (dm == 0.0), params.nugget[pa], 0.0
-            )
-            a = a.astype(eye.dtype)
+            a = gathered_covariance(params, dm, pid).astype(eye.dtype)
         else:
             # Local covariance gathered from the precomputed joint matrix.
             # Two row-gathers with a transpose between them instead of one

@@ -166,3 +166,19 @@ def test_multifield_variograms(rng):
     ev2 = empirical_variograms(mf, cfg_all)
     assert ev2.bin_counts[0].sum() == n * (n - 1) / 2
     assert ev2.bin_counts[1].sum() == n * n
+
+
+def test_device_program_raises_when_no_pairs_within_max_dist(rng):
+    """The fused program must raise for an empty pair set in BOTH
+    coordinate systems. The geodesic path used to clip the +-inf h
+    surrogates to finite [0, pi R] and silently return decreasing bin
+    centers with all-NaN means."""
+    from cokriging_tpu.estimate.empirical import empirical_variograms_device
+
+    # two points ~1570 km apart, max_dist far below that
+    c = np.array([[0.0, 0.0], [10.0, 10.0]])
+    v = np.array([1.0, -1.0])
+    for geodesic, max_dist in ((True, 100.0), (False, 1.0)):
+        cfg = VarioConfig(max_dist=max_dist, n_bins=5, geodesic=geodesic)
+        with pytest.raises(ValueError, match="No pairs within max_dist"):
+            empirical_variograms_device([c, c + 20.0], [v, v], cfg)

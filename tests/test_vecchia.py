@@ -224,3 +224,35 @@ def test_fit_vecchia_device_matches_host(sim_data):
     np.testing.assert_allclose(
         float(p_dev.rho[0, 1]), float(p_host.rho[0, 1]), atol=0.1
     )
+    # n_iter is the real L-BFGS step count, not the maxiter ceiling echoed
+    assert 0 < i_dev["n_iter"] <= 80
+
+
+def test_fit_vecchia_host_f32_fields(sim_data):
+    """The host driver must trace cleanly when the fields are float32 (the
+    TPU data path): f64 parameters against f32 windows used to promote the
+    scan carry mid-trace and crash with a carry-dtype mismatch."""
+    truth, coords, values = sim_data
+    from cokriging_tpu.cov.params import ParamSpec
+    from cokriging_tpu.fields.field import Field, MultiField
+
+    fields = []
+    for k in range(2):
+        f = Field.from_arrays(
+            np.asarray(coords[k], np.float32),
+            np.asarray(values[k], np.float32),
+            f"Z{k}",
+        )
+        f.geodesic = False
+        fields.append(f)
+    mf = MultiField(fields=fields)
+    spec = ParamSpec(
+        n_procs=2, len_scale_bounds=(0.05, 2.0), sigma_bounds=(0.2, 3.0)
+    )
+    init = MaternParams.default(2, spec).with_flat(
+        jnp.asarray([1.0, 1.0, 1.5, 1.5, 1.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.0])
+    )
+    params, info = fit_vecchia(
+        mf, init=init, m=10, maxiter=3, main=False, chunk=64
+    )
+    assert np.isfinite(info["nll"])
