@@ -10,4 +10,5 @@ from cokriging_tpu.plot.figures import (  # noqa: F401
     raw_climatology,
     resid_climatology,
     qq_plots,
+    animate_monthly,
 )

@@ -2,8 +2,10 @@
 
 Parity with the reference plotting layer (src/plot.py): CONUS maps,
 residual-field panels, empirical-vs-fitted variogram grids, simulation
-panels, error-ratio maps, LOOCV diagnostics (incl. MSPE/MAPE), and
-climatologies. cartopy is not available in this environment, so maps
+panels, error-ratio maps, LOOCV diagnostics (incl. MSPE/MAPE),
+climatologies, and monthly GIF animations (the reference's
+notebooks/1degree_monthly_animations[.variance].ipynb workflows).
+cartopy is not available in this environment, so maps
 render on plain lon/lat axes with the embedded coastline polygons from
 data.landmask as context (pass ``coastlines=False`` to disable).
 """
@@ -230,3 +232,82 @@ def qq_plots(mf):
         st.probplot(np.asarray(f.values), dist="norm", plot=axes[0][k])
         axes[0][k].set_title(f.name)
     return fig
+
+
+def animate_monthly(
+    df: pd.DataFrame,
+    column: str,
+    time_col: str = "time",
+    out_path: Optional[str] = None,
+    extents=None,
+    cmap: str = "RdYlGn",
+    vcenter: Optional[float] = None,
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
+    fps: int = 2,
+    coastlines: bool = True,
+    s: float = 12,
+    title: str = "",
+):
+    """Animate a gridded long-format field month by month (reference
+    notebooks/1degree_monthly_animations.ipynb and
+    1degree_monthly_animations_variance.ipynb: global monthly-mean and
+    per-cell-variance maps rendered as FuncAnimation frames over a fixed
+    diverging color scale, ``colors.TwoSlopeNorm``).
+
+    ``df`` holds one row per (cell, month) with lon/lat/``time_col``/
+    ``column``. The color scale is fixed across frames (as in the
+    reference, which pins vmin/vcenter/vmax per variable) so frames are
+    comparable; unset limits default to data quantiles. Writes an
+    animated GIF when ``out_path`` is given and returns the
+    ``FuncAnimation`` either way (keep a reference alive until saved).
+    """
+    from matplotlib import colors
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    frames = sorted(pd.unique(df[time_col]))
+    if not frames:
+        raise ValueError("animate_monthly: no time frames in dataframe")
+    if vmin is None:
+        vmin = float(np.nanquantile(df[column], 0.02))
+    if vmax is None:
+        vmax = float(np.nanquantile(df[column], 0.98))
+    if vmax <= vmin:
+        vmax = vmin + 1e-6
+    if vcenter is not None and vmin < vcenter < vmax:
+        norm = colors.TwoSlopeNorm(vcenter=vcenter, vmin=vmin, vmax=vmax)
+    else:
+        norm = colors.Normalize(vmin=vmin, vmax=vmax)
+    if extents is None:
+        extents = (
+            df["lon"].min() - 2, df["lon"].max() + 2,
+            df["lat"].min() - 2, df["lat"].max() + 2,
+        )
+
+    fig, ax = plt.subplots(figsize=(10, 5.5))
+    cbar_holder = {}
+
+    def draw(k):
+        ax.clear()
+        sub = df[df[time_col] == frames[k]]
+        sc = ax.scatter(
+            sub["lon"], sub["lat"], c=sub[column], s=s, marker="s",
+            cmap=cmap, norm=norm,
+        )
+        if "cbar" not in cbar_holder:
+            cbar_holder["cbar"] = fig.colorbar(
+                sc, ax=ax, shrink=0.8, extend="both", label=column
+            )
+        if coastlines:
+            _add_coastlines(ax)
+        ax.set_xlim(extents[0], extents[1])
+        ax.set_ylim(extents[2], extents[3])
+        stamp = pd.Timestamp(frames[k])
+        ax.set_title(f"{title or column} — {stamp:%Y-%m}")
+        return ()
+
+    anim = FuncAnimation(fig, draw, frames=len(frames), blit=False)
+    if out_path is not None:
+        anim.save(out_path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+    return anim

@@ -98,3 +98,36 @@ def test_figures_render(sim_setup):
     lon = np.random.default_rng(1).uniform(-120, -70, 50)
     df = pd.DataFrame({"lat": lat, "lon": lon, "v": lat + lon})
     assert plot_df(df, "v") is not None
+
+
+def test_animate_monthly(tmp_path):
+    """GIF animation of a gridded monthly field: one frame per month,
+    fixed color scale (notebooks/1degree_monthly_animations[.variance])."""
+    from PIL import Image
+
+    from cokriging_tpu.plot import animate_monthly
+
+    rng = np.random.default_rng(0)
+    times = pd.date_range("2015-01-01", periods=4, freq="MS")
+    lat, lon = np.meshgrid(np.arange(25.0, 50, 5), np.arange(-120.0, -70, 5))
+    rows = []
+    for t in times:
+        rows.append(
+            pd.DataFrame(
+                {
+                    "time": t,
+                    "lat": lat.ravel(),
+                    "lon": lon.ravel(),
+                    "sif": rng.normal(size=lat.size),
+                }
+            )
+        )
+    df = pd.concat(rows, ignore_index=True)
+    out = tmp_path / "anim.gif"
+    anim = animate_monthly(df, "sif", out_path=str(out), vcenter=0.0, fps=4)
+    assert anim is not None and out.exists()
+    with Image.open(out) as im:
+        assert im.n_frames == 4
+
+    with pytest.raises(ValueError):
+        animate_monthly(df.iloc[:0], "sif")
