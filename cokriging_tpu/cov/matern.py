@@ -177,25 +177,29 @@ def _use_pallas(h) -> bool:
     )
 
 
-def _scaled_matern_raw(scale, nugget, nu, ls, h, pallas: bool = False):
+def _scaled_matern_raw(
+    scale, nugget, nu, ls, h, pallas: bool = False, symmetric: bool = False
+):
     """scale * M(nu, ls, h) + nugget at exactly h == 0 — one covariance
     block (marginal: scale = sigma^2; cross: scale = rho sigma_i sigma_j,
     nugget = 0). Conventions per src/model.py:193-207.
 
     ``pallas=True`` evaluates M through the fused VMEM kernel
     (kernels.pallas_ops) — forward value only; callers guard with
-    _use_pallas."""
+    _use_pallas. ``symmetric=True`` (square symmetric h, e.g. marginal
+    self-distance blocks) engages the triangle-gated kernel — half the
+    K_nu work, bit-identical output; a no-op on the XLA path."""
     if pallas:
         from cokriging_tpu.kernels.pallas_ops import matern_correlation_pallas
 
-        m = matern_correlation_pallas(nu, ls, h)
+        m = matern_correlation_pallas(nu, ls, h, symmetric=symmetric)
     else:
         m = _matern_corr_raw(nu, ls, h)
     out = scale * m
     return out + jnp.where(jnp.asarray(h) == 0.0, nugget, jnp.zeros_like(out))
 
 
-def _scaled_matern_nh_bwd(res, ct):
+def _scaled_matern_nh_bwd(res, ct, symmetric: bool = False):
     """Chunked reverse pass for a whole covariance block, scalars only.
 
     Keeping the scale/nugget prefactors *outside* the chunked correlation
@@ -209,7 +213,9 @@ def _scaled_matern_nh_bwd(res, ct):
     if _use_pallas_scaled(scale, nugget, nu, ls, h):
         from cokriging_tpu.kernels.pallas_ops import matern_block_grad_pallas
 
-        gs, gn, gnu, gls = matern_block_grad_pallas(scale, nugget, nu, ls, h, ct)
+        gs, gn, gnu, gls = matern_block_grad_pallas(
+            scale, nugget, nu, ls, h, ct, symmetric=symmetric
+        )
         return (
             gs.astype(scale.dtype), gn.astype(nugget.dtype),
             gnu.astype(nu.dtype), gls.astype(ls.dtype),
@@ -277,6 +283,35 @@ _scaled_matern_cvjp_nh.defvjp(
 )
 
 
+@jax.custom_vjp
+def _scaled_matern_cvjp_nh_sym(scale, nugget, nu, ls, h):
+    """Symmetric-h variant of _scaled_matern_cvjp_nh (marginal
+    self-distance blocks): on the TPU f32 Pallas path both the forward
+    assembly and the scalar-cotangent backward evaluate only tiles
+    touching the lower triangle — half the K_nu work of the joint-NLL
+    marginal blocks. Off the Pallas path it is exactly
+    _scaled_matern_cvjp_nh (full evaluation; bit-identical because h is
+    symmetric)."""
+    return _scaled_matern_raw(
+        scale, nugget, nu, ls, h,
+        pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
+        symmetric=True,
+    )
+
+
+_scaled_matern_cvjp_nh_sym.defvjp(
+    lambda scale, nugget, nu, ls, h: (
+        _scaled_matern_raw(
+            scale, nugget, nu, ls, h,
+            pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
+            symmetric=True,
+        ),
+        (scale, nugget, nu, ls, h),
+    ),
+    lambda res, ct: _scaled_matern_nh_bwd(res, ct, symmetric=True),
+)
+
+
 def matern_correlation(nu, len_scale, h, h_grad: bool = True):
     r"""Matern correlation :math:`\rho(h)` in log space (src/model.py:354-385).
 
@@ -314,7 +349,7 @@ def correlation(params: MaternParams, i: int, j: int, h, h_grad: bool = True):
 
 def covariance(
     params: MaternParams, i: int, h, use_nugget: bool = True,
-    h_grad: bool = True,
+    h_grad: bool = True, symmetric: bool = False,
 ):
     """Marginal covariance of process i; nugget only at h == 0
     (src/model.py:193-197).
@@ -322,12 +357,16 @@ def covariance(
     ``h_grad=False`` evaluates the whole block (scale, nugget included)
     through the chunk-bounded scalar-cotangent VJP — see
     _scaled_matern_nh_bwd for why the prefactors must live inside it.
+    ``symmetric=True`` promises h is a square SYMMETRIC matrix (true for
+    any self-distance block) and halves the TPU Pallas K_nu work on the
+    h_grad=False path; output is bit-identical.
     """
     if not h_grad:
         nugget = params.nugget[i] if use_nugget else jnp.zeros_like(
             params.nugget[i]
         )
-        return _scaled_matern_cvjp_nh(
+        fn = _scaled_matern_cvjp_nh_sym if symmetric else _scaled_matern_cvjp_nh
+        return fn(
             params.sigma[i] ** 2, nugget,
             params.nu[i, i], params.len_scale[i, i], jnp.asarray(h),
         )
@@ -449,7 +488,8 @@ def block_covariance_pallas(params: MaternParams, dists):
             if i <= j:
                 h = dists[i][j]
                 m = matern_correlation_pallas(
-                    params.nu[i, j], params.len_scale[i, j], h
+                    params.nu[i, j], params.len_scale[i, j], h,
+                    symmetric=(i == j),
                 )
                 if i == j:
                     blocks[(i, j)] = params.sigma[i] ** 2 * m + jnp.where(
@@ -497,7 +537,12 @@ def block_covariance(params: MaternParams, dists, h_grad: bool = True):
             if i <= j:
                 h = dists[i][j]
                 if i == j:
-                    blocks[(i, j)] = covariance(params, i, h, h_grad=h_grad)
+                    # marginal blocks are self-distance matrices —
+                    # symmetric by construction, so the TPU path may
+                    # evaluate the lower triangle only
+                    blocks[(i, j)] = covariance(
+                        params, i, h, h_grad=h_grad, symmetric=True
+                    )
                 else:
                     blocks[(i, j)] = cross_covariance(
                         params, i, j, h, h_grad=h_grad

@@ -238,20 +238,41 @@ def _matern_kernel(params_ref, h_ref, out_ref):
     out_ref[:] = _matern_tile(p, h_ref[:])
 
 
-def _matern_pallas_call(params_smem, h):
+def _matern_kernel_sym(params_ref, h_ref, out_ref):
+    """Triangle-gated variant for SYMMETRIC h: tiles strictly above the
+    diagonal skip the K_nu recurrences (the dominant cost) and emit
+    zeros; the caller mirrors the lower triangle afterwards. Halves the
+    Bessel work of every marginal-block assembly."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # compute iff the tile intersects the lower triangle (row >= col):
+    # its first column (j*MN) is <= its last row (i*MM + MM - 1)
+    touches_lower = j * MN < (i + 1) * MM
+
+    @pl.when(touches_lower)
+    def _():
+        p = tuple(params_ref[k] for k in range(9))
+        out_ref[:] = _matern_tile(p, h_ref[:])
+
+    @pl.when(jnp.logical_not(touches_lower))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+def _matern_pallas_call(params_smem, h, symmetric=False):
     # x64 mode makes pallas index maps emit i64, which Mosaic cannot
     # legalize ("func.return (i64)"); trace this call in 32-bit mode
     # (all operands are f32 anyway)
     with jax.enable_x64(False):
-        return _matern_pallas_call_32(params_smem, h)
+        return _matern_pallas_call_32(params_smem, h, symmetric)
 
 
-@partial(jax.jit, static_argnames=())
-def _matern_pallas_call_32(params_smem, h):
+@partial(jax.jit, static_argnames=("symmetric",))
+def _matern_pallas_call_32(params_smem, h, symmetric=False):
     n, m = h.shape
     grid = (n // MM, m // MN)
     return pl.pallas_call(
-        _matern_kernel,
+        _matern_kernel_sym if symmetric else _matern_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (2,) nu, ls
@@ -305,20 +326,13 @@ def _kv_tile(mu, nl, gam_consts, x):
     return k_mu
 
 
-def _matern_grad_kernel(params_ref, h_ref, ct_ref, out_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    p = params_ref
+def _matern_grad_tile(p, h, ct):
+    """Four scalar cotangent contributions of one (h, ct) tile:
+    [sum(ct*M), sum(ct[h==0]), scale*sum(ct*dM/dnu), scale*sum(ct*dM/dls)].
+    ``p`` is the SMEM parameter vector of matern_block_grad_pallas."""
     nu, ls, scale = p[0], p[1], p[2]
     lgam, digam, fd = p[3], p[4], p[5]
 
-    h = h_ref[:]
-    ct = ct_ref[:]
     pos = h > 0.0
     hs = jnp.where(pos, h, 1.0) / ls
     a = jnp.sqrt(2.0 * nu) * hs
@@ -353,7 +367,7 @@ def _matern_grad_kernel(params_ref, h_ref, ct_ref, out_ref):
     dm_dls = m * (-nu / ls) + elp * dk_dx * da_dls
 
     zero = jnp.zeros_like(ct)
-    vals = jnp.stack(
+    return jnp.stack(
         [
             jnp.sum(ct * m_val),
             jnp.sum(jnp.where(h == 0.0, ct, zero)),
@@ -363,20 +377,49 @@ def _matern_grad_kernel(params_ref, h_ref, ct_ref, out_ref):
             * jnp.sum(jnp.where(ok & jnp.isfinite(dm_dls), ct * dm_dls, zero)),
         ]
     )
+
+
+def _matern_grad_kernel(params_ref, h_ref, ct_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vals = _matern_grad_tile(params_ref, h_ref[:], ct_ref[:])
     out_ref[:] += vals.reshape(1, 4)
 
 
-def _matern_grad_call(params, h, ct):
+def _matern_grad_kernel_sym(params_ref, h_ref, ct_ref, out_ref):
+    """Triangle-gated variant for SYMMETRIC h with a cotangent that is
+    zero above the diagonal (the caller folds ct + ct.T into the lower
+    triangle): tiles strictly above the diagonal contribute nothing and
+    skip the five K_nu evaluations entirely."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(j * GN < (i + 1) * GM)
+    def _():
+        vals = _matern_grad_tile(params_ref, h_ref[:], ct_ref[:])
+        out_ref[:] += vals.reshape(1, 4)
+
+
+def _matern_grad_call(params, h, ct, symmetric=False):
     with jax.enable_x64(False):
-        return _matern_grad_call_32(params, h, ct)
+        return _matern_grad_call_32(params, h, ct, symmetric)
 
 
-@jax.jit
-def _matern_grad_call_32(params, h, ct):
+@partial(jax.jit, static_argnames=("symmetric",))
+def _matern_grad_call_32(params, h, ct, symmetric=False):
     n, m = h.shape
     grid = (n // GM, m // GN)
     return pl.pallas_call(
-        _matern_grad_kernel,
+        _matern_grad_kernel_sym if symmetric else _matern_grad_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params (36,)
@@ -390,7 +433,7 @@ def _matern_grad_call_32(params, h, ct):
     )(params, h, ct)
 
 
-def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct):
+def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct, symmetric=False):
     """Fused backward of one covariance block C = scale*M(nu,ls,h) [+
     nugget at h==0] against cotangent ct.
 
@@ -398,9 +441,20 @@ def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct):
     the h cotangent is identically zero by construction (distances are
     data). f32 / TPU only; padding handled here (ct pads with 0 so padded
     lanes contribute nothing).
+
+    ``symmetric=True`` (square symmetric h only) folds the cotangent into
+    the lower triangle (ct + ct.T off-diagonal, ct on the diagonal — the
+    exact cotangent of the mirrored forward) and runs the triangle-gated
+    kernel, halving the K_nu work.
     """
     h = jnp.asarray(h)
     ct = jnp.asarray(ct)
+    if symmetric:
+        if h.ndim != 2 or h.shape[0] != h.shape[1]:
+            raise ValueError(
+                "matern_block_grad_pallas(symmetric=True) needs square h"
+            )
+        ct = jnp.tril(ct + ct.T) - jnp.diag(jnp.diagonal(ct))
     dt = h.dtype
     from cokriging_tpu.kernels import bessel as B
 
@@ -439,16 +493,25 @@ def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct):
     return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
 
 
-def matern_correlation_pallas(nu, len_scale, h):
+def matern_correlation_pallas(nu, len_scale, h, symmetric=False):
     """Fused VMEM-resident Matern correlation over a distance matrix.
 
     Forward-only (wrap in the stacked-JVP pattern for gradients, or use
     cov.matern.matern_correlation for AD paths). nu/len_scale are scalars.
+
+    ``symmetric=True`` (square symmetric h only, e.g. marginal
+    self-distance blocks) evaluates only tiles touching the lower
+    triangle and mirrors it, halving the K_nu work; bit-identical to the
+    full evaluation because h is symmetric.
     """
     h = jnp.asarray(h)
     orig_shape = h.shape
     if h.ndim == 1:
         h = h[None, :]
+    if symmetric and h.shape[0] != h.shape[1]:
+        raise ValueError(
+            "matern_correlation_pallas(symmetric=True) needs square h"
+        )
     n, m = h.shape
     pad_n = (-n) % MM
     pad_m = (-m) % MN
@@ -467,6 +530,8 @@ def matern_correlation_pallas(nu, len_scale, h):
          gam1, gam2, inv_gp, inv_gm,
          lgamma_precise(nu_s)]
     ).astype(h.dtype)
-    out = _matern_pallas_call(params, h)
+    out = _matern_pallas_call(params, h, symmetric)
     out = out[:n, :m]
+    if symmetric:
+        out = jnp.tril(out) + jnp.tril(out, -1).T
     return out.reshape(orig_shape)

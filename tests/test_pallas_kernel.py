@@ -127,3 +127,62 @@ def test_matern_block_grad_pallas_matches_ad(rng, monkeypatch):
         # (measured vs f64 scipy on TPU, DESIGN.md §6); the two paths
         # round differently, so their gap can reach twice that
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-4)
+
+
+def test_matern_pallas_symmetric_matches_full(rng, monkeypatch):
+    """Triangle-gated symmetric forward == full evaluation on a symmetric
+    self-distance matrix (bit-identical mirror), including the
+    tile-straddles-diagonal and padded-edge cases."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(P, "MM", 8)
+    monkeypatch.setattr(P, "MN", 128)
+    from cokriging_tpu.kernels.distance import euclidean_matrix
+
+    coords = jnp.asarray(rng.uniform(0, 1, size=(37, 2)), jnp.float32)
+    h = euclidean_matrix(coords, coords) * 900.0
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(P.matern_correlation_pallas(1.4, 300.0, h))
+        sym = np.asarray(
+            P.matern_correlation_pallas(1.4, 300.0, h, symmetric=True)
+        )
+    np.testing.assert_array_equal(sym, np.tril(full) + np.tril(full, -1).T)
+    np.testing.assert_allclose(sym, full, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        P.matern_correlation_pallas(1.4, 300.0, h[:, :20], symmetric=True)
+
+
+def test_matern_block_grad_pallas_symmetric(rng, monkeypatch):
+    """Symmetric (triangle-gated, folded-cotangent) backward == full
+    backward on a symmetric h with an arbitrary (asymmetric) cotangent."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(P, "GM", 8)
+    monkeypatch.setattr(P, "GN", 128)
+    from cokriging_tpu.kernels.distance import euclidean_matrix
+
+    coords = jnp.asarray(rng.uniform(0, 1, size=(41, 2)), jnp.float32)
+    h = euclidean_matrix(coords, coords) * 700.0
+    ct = jnp.asarray(rng.normal(size=h.shape), jnp.float32)
+    args = (
+        jnp.float32(1.7), jnp.float32(0.05), jnp.float32(1.37),
+        jnp.float32(450.0),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(
+            [float(x) for x in P.matern_block_grad_pallas(*args, h, ct)]
+        )
+        sym = np.asarray(
+            [
+                float(x)
+                for x in P.matern_block_grad_pallas(
+                    *args, h, ct, symmetric=True
+                )
+            ]
+        )
+    # identical math, different summation order -> f32 roundoff only
+    np.testing.assert_allclose(sym, full, rtol=2e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        P.matern_block_grad_pallas(*args, h[:, :20], ct[:, :20], symmetric=True)
