@@ -263,53 +263,34 @@ def _use_pallas_scaled(scale, nugget, nu, ls, h) -> bool:
     return _use_pallas(h) and jnp.result_type(scale, nugget, nu, ls) == jnp.float32
 
 
-@jax.custom_vjp
-def _scaled_matern_cvjp_nh(scale, nugget, nu, ls, h):
-    return _scaled_matern_raw(
-        scale, nugget, nu, ls, h,
-        pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
-    )
+def _make_scaled_cvjp(symmetric: bool):
+    """custom_vjp for one whole covariance block with scalar-only
+    cotangents (see _scaled_matern_nh_bwd). ``symmetric=True`` is the
+    marginal self-distance variant: on the TPU f32 Pallas path both the
+    forward assembly and the backward evaluate only tiles touching the
+    lower triangle — half the K_nu work; off the Pallas path it is the
+    identical full evaluation (bit-identical because h is symmetric)."""
 
-
-_scaled_matern_cvjp_nh.defvjp(
-    lambda scale, nugget, nu, ls, h: (
-        _scaled_matern_raw(
+    def primal(scale, nugget, nu, ls, h):
+        return _scaled_matern_raw(
             scale, nugget, nu, ls, h,
             pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
+            symmetric=symmetric,
+        )
+
+    cvjp = jax.custom_vjp(primal)
+    cvjp.defvjp(
+        lambda scale, nugget, nu, ls, h: (
+            primal(scale, nugget, nu, ls, h),
+            (scale, nugget, nu, ls, h),
         ),
-        (scale, nugget, nu, ls, h),
-    ),
-    _scaled_matern_nh_bwd,
-)
-
-
-@jax.custom_vjp
-def _scaled_matern_cvjp_nh_sym(scale, nugget, nu, ls, h):
-    """Symmetric-h variant of _scaled_matern_cvjp_nh (marginal
-    self-distance blocks): on the TPU f32 Pallas path both the forward
-    assembly and the scalar-cotangent backward evaluate only tiles
-    touching the lower triangle — half the K_nu work of the joint-NLL
-    marginal blocks. Off the Pallas path it is exactly
-    _scaled_matern_cvjp_nh (full evaluation; bit-identical because h is
-    symmetric)."""
-    return _scaled_matern_raw(
-        scale, nugget, nu, ls, h,
-        pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
-        symmetric=True,
+        lambda res, ct: _scaled_matern_nh_bwd(res, ct, symmetric=symmetric),
     )
+    return cvjp
 
 
-_scaled_matern_cvjp_nh_sym.defvjp(
-    lambda scale, nugget, nu, ls, h: (
-        _scaled_matern_raw(
-            scale, nugget, nu, ls, h,
-            pallas=_use_pallas_scaled(scale, nugget, nu, ls, h),
-            symmetric=True,
-        ),
-        (scale, nugget, nu, ls, h),
-    ),
-    lambda res, ct: _scaled_matern_nh_bwd(res, ct, symmetric=True),
-)
+_scaled_matern_cvjp_nh = _make_scaled_cvjp(symmetric=False)
+_scaled_matern_cvjp_nh_sym = _make_scaled_cvjp(symmetric=True)
 
 
 def matern_correlation(nu, len_scale, h, h_grad: bool = True):

@@ -489,7 +489,7 @@ def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct, symmetric=False):
     if pad_n or pad_m:
         h = jnp.pad(h, ((0, pad_n), (0, pad_m)), constant_values=1.0)
         ct = jnp.pad(ct, ((0, pad_n), (0, pad_m)))
-    out = _matern_grad_call(params, h, ct)
+    out = _matern_grad_call(params, h, ct, symmetric)
     return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
 
 

@@ -265,7 +265,10 @@ def animate_monthly(
     from matplotlib import colors
     from matplotlib.animation import FuncAnimation, PillowWriter
 
-    frames = sorted(pd.unique(df[time_col]))
+    # one groupby instead of an O(frames x rows) scan per frame; NaT
+    # groups are dropped (NaT never equals itself and cannot strftime)
+    groups = {k: g for k, g in df.groupby(time_col) if pd.notna(k)}
+    frames = sorted(groups)
     if not frames:
         raise ValueError("animate_monthly: no time frames in dataframe")
     if vmin is None:
@@ -289,7 +292,7 @@ def animate_monthly(
 
     def draw(k):
         ax.clear()
-        sub = df[df[time_col] == frames[k]]
+        sub = groups[frames[k]]
         sc = ax.scatter(
             sub["lon"], sub["lat"], c=sub[column], s=s, marker="s",
             cmap=cmap, norm=norm,

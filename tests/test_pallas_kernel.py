@@ -141,11 +141,24 @@ def test_matern_pallas_symmetric_matches_full(rng, monkeypatch):
 
     coords = jnp.asarray(rng.uniform(0, 1, size=(37, 2)), jnp.float32)
     h = euclidean_matrix(coords, coords) * 900.0
+
+    # pin kernel DISPATCH (gated vs full paths are numerically identical
+    # by design, so equality alone cannot detect a dropped symmetric flag)
+    hits = {"sym": 0}
+    orig_kernel = P._matern_kernel_sym
+
+    def counting_kernel(*refs):
+        hits["sym"] += 1
+        return orig_kernel(*refs)
+
+    monkeypatch.setattr(P, "_matern_kernel_sym", counting_kernel)
     with pltpu.force_tpu_interpret_mode():
         full = np.asarray(P.matern_correlation_pallas(1.4, 300.0, h))
+        assert hits["sym"] == 0
         sym = np.asarray(
             P.matern_correlation_pallas(1.4, 300.0, h, symmetric=True)
         )
+    assert hits["sym"] > 0
     np.testing.assert_array_equal(sym, np.tril(full) + np.tril(full, -1).T)
     np.testing.assert_allclose(sym, full, atol=1e-6)
 
@@ -169,10 +182,21 @@ def test_matern_block_grad_pallas_symmetric(rng, monkeypatch):
         jnp.float32(1.7), jnp.float32(0.05), jnp.float32(1.37),
         jnp.float32(450.0),
     )
+
+    # pin dispatch of the gated kernel (see the forward test for why)
+    hits = {"sym": 0}
+    orig_kernel = P._matern_grad_kernel_sym
+
+    def counting_kernel(*refs):
+        hits["sym"] += 1
+        return orig_kernel(*refs)
+
+    monkeypatch.setattr(P, "_matern_grad_kernel_sym", counting_kernel)
     with pltpu.force_tpu_interpret_mode():
         full = np.asarray(
             [float(x) for x in P.matern_block_grad_pallas(*args, h, ct)]
         )
+        assert hits["sym"] == 0
         sym = np.asarray(
             [
                 float(x)
@@ -181,6 +205,7 @@ def test_matern_block_grad_pallas_symmetric(rng, monkeypatch):
                 )
             ]
         )
+    assert hits["sym"] > 0
     # identical math, different summation order -> f32 roundoff only
     np.testing.assert_allclose(sym, full, rtol=2e-5, atol=1e-6)
 
