@@ -5,6 +5,16 @@ from cokriging_tpu.estimate.empirical import (  # noqa: F401
 )
 from cokriging_tpu.estimate.wls import fit_wls, composite_wls_cost  # noqa: F401
 from cokriging_tpu.estimate.nll import neg_log_likelihood, fit_nll  # noqa: F401
+from cokriging_tpu.estimate.bootstrap import (  # noqa: F401
+    BootstrapResult,
+    batched_variograms,
+    parametric_bootstrap,
+    simulate_replicates,
+)
+from cokriging_tpu.estimate.uncertainty import (  # noqa: F401
+    nll_std_errors,
+    observed_information,
+)
 from cokriging_tpu.estimate.vecchia import (  # noqa: F401
     VecchiaLikelihood,
     fit_vecchia,

@@ -491,6 +491,34 @@ def fit_wls_batch(
     B = len(estimates)
     x0 = jnp.tile(init.to_flat()[None], (B, 1))
 
+    xs, costs = fit_wls_batch_arrays(
+        x0, centers, means, counts, pairs, spec, maxiter=maxiter, mesh=mesh
+    )
+    return [MaternParams.from_flat(jnp.asarray(x), spec=spec) for x in xs], costs
+
+
+def fit_wls_batch_arrays(
+    x0, centers, means, counts, pairs, spec, maxiter: int = 300, mesh=None
+):
+    """Array-level core of ``fit_wls_batch``: one vmapped on-device L-BFGS
+    program over a batch of (centers, means, counts) variogram stacks.
+
+    Also the engine of the parametric bootstrap (estimate/bootstrap.py),
+    whose replicates arrive as stacked arrays rather than
+    ``EmpiricalVariogram`` objects.
+
+    Args:
+        x0: (B, n_params) initial flat vectors.
+        centers/means/counts: (B, n_pairs, n_bins) stacks (means must be
+            NaN-free; zero-count bins are masked by the cost).
+        mesh: optional jax.sharding.Mesh; batch axis sharded over it.
+
+    Returns:
+        (xs, costs): (B, n_params) fitted flats and (B,) final costs.
+    """
+    pairs = tuple(pairs)
+    B = int(x0.shape[0])
+
     batch_key = ("lbfgs_batch", pairs, spec, maxiter)
     if batch_key not in _FITTER_CACHE:
         _FITTER_CACHE[batch_key] = jax.jit(
@@ -498,7 +526,12 @@ def fit_wls_batch(
         )
     batched = _FITTER_CACHE[batch_key]
 
-    args = [x0, jnp.asarray(centers), jnp.asarray(means), jnp.asarray(counts)]
+    args = [
+        jnp.asarray(x0),
+        jnp.asarray(centers),
+        jnp.asarray(means),
+        jnp.asarray(counts),
+    ]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -512,5 +545,4 @@ def fit_wls_batch(
             for a in args
         ]
     xs, costs = batched(*args)
-    xs, costs = np.asarray(xs)[:B], np.asarray(costs)[:B]
-    return [MaternParams.from_flat(jnp.asarray(x), spec=spec) for x in xs], costs
+    return np.asarray(xs)[:B], np.asarray(costs)[:B]

@@ -44,19 +44,17 @@ def _dist(a, b, geodesic):
     return haversine_matrix(a, b) if geodesic else euclidean_matrix(a, b)
 
 
-@partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
-def _joint_predict_core(params, coords_tuple, values_tuple, pcoords, i, geodesic, n_sizes):
-    """Returns (pred, pred_err) at pcoords for process i.
+def _joint_system(params, coords_tuple, pcoords, i, geodesic):
+    """The three joint-cokriging covariance pieces for process i:
 
-    coords_tuple/values_tuple are per-process arrays on the main grid;
-    n_sizes is the static tuple of their lengths (for block assembly).
+    - joint data covariance (src/joint_prediction.py:124-153),
+    - data -> prediction cross-covariance stack (:104-122),
+    - prediction-grid covariance with nugget (:94-102).
     """
     p = len(coords_tuple)
     dists = joint_distance_blocks(list(coords_tuple), geodesic=geodesic)
     joint_cov = block_covariance(params, dists)
 
-    # data -> prediction cross-covariance, stacked over processes
-    # (src/joint_prediction.py:104-122)
     cross_rows = []
     for j in range(p):
         d = _dist(coords_tuple[j], pcoords, geodesic)
@@ -66,10 +64,21 @@ def _joint_predict_core(params, coords_tuple, values_tuple, pcoords, i, geodesic
             cross_rows.append(cross_covariance(params, i, j, d))
     pred_cross = jnp.concatenate(cross_rows, axis=0)
 
-    # prediction-grid covariance (src/joint_prediction.py:94-102)
     dpp = _dist(pcoords, pcoords, geodesic)
     pred_cov = covariance(params, i, dpp, use_nugget=True)
+    return joint_cov, pred_cross, pred_cov
 
+
+@partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
+def _joint_predict_core(params, coords_tuple, values_tuple, pcoords, i, geodesic, n_sizes):
+    """Returns (pred, pred_err) at pcoords for process i.
+
+    coords_tuple/values_tuple are per-process arrays on the main grid;
+    n_sizes is the static tuple of their lengths (for block assembly).
+    """
+    joint_cov, pred_cross, pred_cov = _joint_system(
+        params, coords_tuple, pcoords, i, geodesic
+    )
     z = jnp.concatenate(values_tuple)
     weights = _refined_posdef_solve(joint_cov, pred_cross)  # (ndata, npred)
     pred = weights.T @ z
@@ -100,6 +109,54 @@ def _refined_posdef_solve(a, b, refine_iters: int = 2):
             r = (b64 - a64 @ x.astype(jnp.float64)).astype(jnp.float32)
             x = x + jax.scipy.linalg.cho_solve(chol, r)
     return x
+
+
+@partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes", "n_samples"))
+def _conditional_sample_core(
+    params, coords_tuple, values_tuple, pcoords, key, i, geodesic, n_sizes,
+    n_samples,
+):
+    """Conditional (posterior) Gaussian simulation at pcoords.
+
+    The joint-cokriging predictive distribution is the full Gaussian
+    posterior — mean ``W^T z`` and covariance ``K* - W^T K`` (the matrix
+    whose diagonal the reference reads ``pred_err`` off,
+    src/joint_prediction.py:74-78, discarding the off-diagonals). Sampling
+    it gives equiprobable field realizations that honor the data, the model,
+    AND the spatial correlation of the prediction error — the standard
+    geostatistical "conditional simulation" the reference never implemented.
+
+    The matrix square root uses eigh rather than Cholesky: the posterior is
+    only positive *semi*-definite (exactly singular when pcoords touch data
+    locations and the nugget is zero), and clipping negative eigenvalues to
+    zero is the clean limit there, where a Cholesky would NaN.
+
+    Returns (pred, pred_err, samples) with samples (n_samples, npred), in
+    standardized units. The nugget rides the prediction covariance exactly
+    as in prediction (``use_nugget=True`` — samples are of the observable
+    process Z, not the nugget-free smooth component).
+    """
+    joint_cov, pred_cross, pred_cov = _joint_system(
+        params, coords_tuple, pcoords, i, geodesic
+    )
+    z = jnp.concatenate(values_tuple)
+    weights = _refined_posdef_solve(joint_cov, pred_cross)
+    pred = weights.T @ z
+    post_cov = pred_cov - weights.T @ pred_cross
+    post_cov = 0.5 * (post_cov + post_cov.T)
+    pred_err = jnp.sqrt(jnp.maximum(jnp.diagonal(post_cov), 0.0))
+    # TPU's software-emulated f64 eigh fails to converge (NaN) on the
+    # posterior's near-zero eigenvalue cluster; its native f32 eigh is
+    # robust, and Monte-Carlo draws don't need an f64 matrix root. CPU
+    # keeps full f64. (Backend is a trace-time constant.)
+    root_dtype = post_cov.dtype
+    if post_cov.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        root_dtype = jnp.float32
+    w, u = jnp.linalg.eigh(post_cov.astype(root_dtype))
+    root = (u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]).astype(post_cov.dtype)
+    eps = jax.random.normal(key, (post_cov.shape[0], n_samples), post_cov.dtype)
+    samples = (pred[:, None] + root @ eps).T
+    return pred, pred_err, samples
 
 
 @partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
@@ -200,19 +257,7 @@ class JointPredictor:
     def _verify_model(self, params, coords, pcoords, i, geodesic):
         """PD check of the bordered [pred, data] covariance by trial
         Cholesky (src/joint_prediction.py:260-274)."""
-        all_coords = list(coords)
-        dists = joint_distance_blocks(all_coords, geodesic=geodesic)
-        joint_cov = block_covariance(params, dists)
-        dpp = _dist(pcoords, pcoords, geodesic)
-        pred_cov = covariance(params, i, dpp, use_nugget=True)
-        cross_rows = []
-        for j in range(len(coords)):
-            d = _dist(coords[j], pcoords, geodesic)
-            if j == i:
-                cross_rows.append(covariance(params, i, d, use_nugget=True))
-            else:
-                cross_rows.append(cross_covariance(params, i, j, d))
-        k = jnp.concatenate(cross_rows, axis=0)
+        joint_cov, k, pred_cov = _joint_system(params, coords, pcoords, i, geodesic)
         bordered = jnp.block([[pred_cov, k.T], [k, joint_cov]])
         chol = jnp.linalg.cholesky(bordered)
         if bool(jnp.any(jnp.isnan(chol))):
@@ -220,6 +265,67 @@ class JointPredictor:
                 "Prediction joint covariance matrix is not positive definite;"
                 " model technically invalid."
             )
+
+    def sample(
+        self,
+        i: int,
+        pcoords,
+        n_samples: int = 1,
+        seed: int = 0,
+        postprocess: bool = True,
+    ):
+        """Conditional simulation: draw ``n_samples`` realizations of
+        process i at pcoords from the full joint-cokriging posterior
+        (mean + covariance, not just the diagonal the reference reports).
+
+        Returns ``(df, samples)``: the prediction frame (same shape as
+        ``__call__``) and an ``(n_samples, len(df))`` array of field
+        realizations aligned with the frame's rows, in the same units
+        (data scale when ``postprocess=True``, which applies the identical
+        back-transform chain of src/point_prediction.py:251-301 to every
+        realization).
+        """
+        import jax
+
+        params = self.mod.params
+        coords, values, sizes = self._data()
+        p_arr = jnp.asarray(
+            pcoords.values if isinstance(pcoords, pd.DataFrame) else np.atleast_2d(pcoords)
+        )
+        geo = self.mf.geodesic
+        self._verify_model(params, coords, p_arr, i, geo)
+        key = jax.random.PRNGKey(seed)
+        pred, pred_err, samples = _conditional_sample_core(
+            params, coords, values, p_arr, key, i, geo, sizes, int(n_samples)
+        )
+        samples = np.asarray(samples)
+
+        c1, c2 = ("lat", "lon") if geo else ("x", "y")
+        df = pd.DataFrame(
+            {
+                c1: np.asarray(p_arr[:, 0]),
+                c2: np.asarray(p_arr[:, 1]),
+                "pred": np.asarray(pred),
+                "pred_err": np.asarray(pred_err),
+            }
+        )
+        if not postprocess:
+            return df, samples
+
+        # Back-transform every realization with the same affine map the
+        # prediction frame gets: recover the additive surface A and scale s
+        # from the postprocessed frame itself (s = scale_fact;
+        # A = pred' - s * pred), so the covariate-merge/row-drop logic
+        # lives in exactly one place (postprocess_predictions).
+        df_in = df.copy()
+        df_in["_row_ix"] = np.arange(len(df_in))
+        out = postprocess_predictions(df_in, self.mf.fields[i], self.covariates)
+        keep = out["_row_ix"].to_numpy().astype(int)
+        trend = self.mf.fields[i].trend
+        s = 1.0 if trend is None else trend.scale_fact
+        additive = out["pred"].to_numpy() - s * df["pred"].to_numpy()[keep]
+        samples = samples[:, keep] * s + additive[None, :]
+        return out.drop(columns="_row_ix"), samples
 
     def cross_validation(
         self, i: int, postprocess: bool = True, method: str = "fast"
