@@ -44,6 +44,17 @@ def main(argv=None):
                             "the exact spectral validity region (guarantees a "
                             "PD joint covariance for prediction; pairwise "
                             "Gneiting bound)")
+    p_fit.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                       help="(--method wls) attach a parametric bootstrap of "
+                            "N replicates: simulate from the fitted model at "
+                            "the data coordinates, re-estimate + refit every "
+                            "replicate on device; writes <out>.bootstrap.csv")
+    p_fit.add_argument("--std-errors", action="store_true",
+                       help="attach asymptotic standard errors from the "
+                            "exact-NLL Hessian at the fitted parameters "
+                            "(exact MLE theory under --method nll; a "
+                            "curvature diagnostic for the other estimators); "
+                            "writes <out>.std_errors.csv")
     p_fit.add_argument("--out", default="params.npz")
 
     p_pred = sub.add_parser("predict", help="cokrige a fitted month")
@@ -95,6 +106,8 @@ def main(argv=None):
             main_coords=main_coords_array(),
         )
         if args.cmd == "fit":
+            if args.bootstrap and args.method != "wls":
+                parser.error("--bootstrap requires --method wls")
             if args.method == "wls":
                 from cokriging_tpu.estimate import (
                     VarioConfig,
@@ -132,6 +145,33 @@ def main(argv=None):
             save_params(args.out, params, metadata={"timestamp": args.timestamp})
             print(params.to_dataframe().to_string(index=False))
             print(f"{quality} -> {args.out}")
+            if args.bootstrap:
+                from cokriging_tpu.cov import MultivariateMatern
+                from cokriging_tpu.estimate import (
+                    VarioConfig,
+                    parametric_bootstrap,
+                )
+
+                boot = parametric_bootstrap(
+                    MultivariateMatern(params=params),
+                    mf,
+                    VarioConfig(max_dist=args.max_dist, n_bins=args.n_bins),
+                    n_rep=args.bootstrap,
+                    maxiter=args.maxiter,
+                    main=True,
+                )
+                bdf = boot.summary()
+                bdf.to_csv(f"{args.out}.bootstrap.csv", index=False)
+                print(bdf.to_string(index=False))
+                print(f"bootstrap ({args.bootstrap} replicates) -> "
+                      f"{args.out}.bootstrap.csv")
+            if args.std_errors:
+                from cokriging_tpu.estimate import nll_std_errors
+
+                sedf = nll_std_errors(params, mf)
+                sedf.to_csv(f"{args.out}.std_errors.csv", index=False)
+                print(sedf.to_string(index=False))
+                print(f"NLL-Hessian standard errors -> {args.out}.std_errors.csv")
         else:
             from cokriging_tpu.cov import MultivariateMatern
             from cokriging_tpu.predict import LocalPredictor

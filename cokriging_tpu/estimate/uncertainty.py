@@ -127,7 +127,9 @@ def nll_std_errors(
 
     lo, hi = params.spec.bounds()
     flat = np.asarray(params.to_flat(), np.float64)
-    tol = 1e-6 * (np.asarray(hi) - np.asarray(lo))
+    # wide enough to catch sigmoid-saturated optima (the box-constrained
+    # fitters park runaway parameters a few 1e-6 inside the bound)
+    tol = 1e-4 * (np.asarray(hi) - np.asarray(lo))
     at_bound = (flat <= np.asarray(lo) + tol) | (flat >= np.asarray(hi) - tol)
 
     df = params.to_dataframe().copy()

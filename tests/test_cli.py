@@ -118,3 +118,40 @@ def test_cli_timedeltas_length_mismatch_errors(tmp_path):
             ["fit", "--data", str(p), str(p), "--timestamp", TIMES[1],
              "--timedeltas", "0", "--out", str(tmp_path / "x.npz")]
         )
+
+
+def test_cli_fit_bootstrap_and_std_errors(tmp_path):
+    """--bootstrap N and --std-errors attach both uncertainty reports to a
+    WLS fit and write them as staged CSV artifacts."""
+    rng = np.random.default_rng(3)
+    paths = []
+    for k, name in enumerate(["xco2", "sif"]):
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, _staged_table(name, rng, own_seed=300 + k))
+        paths.append(str(p))
+    out = tmp_path / "pu.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", "0", "0", "--max-dist", "3000", "--n-bins", "8",
+         "--maxiter", "60", "--project-validity",
+         "--bootstrap", "8", "--std-errors", "--out", str(out)]
+    )
+    bdf = pd.read_csv(f"{out}.bootstrap.csv")
+    assert len(bdf) == 11
+    assert (bdf["std_err"].values >= 0).all()
+    assert np.isfinite(bdf[["q025", "q975"]].values).all()
+    sedf = pd.read_csv(f"{out}.std_errors.csv")
+    assert len(sedf) == 11
+    assert np.isfinite(sedf["std_err"].values).all()
+
+
+def test_cli_bootstrap_requires_wls(tmp_path):
+    rng = np.random.default_rng(4)
+    p = tmp_path / "a.parquet"
+    save_table(p, _staged_table("xco2", rng, own_seed=400))
+    with pytest.raises(SystemExit):
+        main(
+            ["fit", "--data", str(p), "--timestamp", TIMES[1],
+             "--method", "vecchia", "--bootstrap", "4",
+             "--maxiter", "10", "--out", str(tmp_path / "x.npz")]
+        )
