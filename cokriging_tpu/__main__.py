@@ -4,8 +4,13 @@ The reference has no CLI (everything lives in notebooks, SURVEY.md
 section 5); this exposes the canonical workflows:
 
     sim        simulation experiment (recovery + coverage validation)
-    fit        WLS-fit a staged dataset for one month, save params
+    fit        fit a staged dataset for one month (WLS/NLL/Vecchia),
+               save params; optional bootstrap / Hessian uncertainty
     predict    cokrige a fitted month onto the 0.5-degree land grid
+               (local-neighborhood or exact joint; optional
+               conditional-simulation realizations)
+    loocv      leave-one-out cross-validation diagnostics
+               (MSPE/MAPE/coverage; local or joint predictor)
     bench      run the north-star benchmark
 """
 
@@ -70,7 +75,39 @@ def main(argv=None):
     p_pred.add_argument("--pred-grid", default=None,
                         help="staged table of prediction locations (lat/lon "
                              "columns); default: the 0.5-degree CONUS land grid")
+    p_pred.add_argument("--joint", action="store_true",
+                        help="exact joint cokriging (one global system, "
+                             "src/joint_prediction.py) instead of the "
+                             "local-neighborhood predictor")
+    p_pred.add_argument("--conditional-sims", type=int, default=0, metavar="N",
+                        help="(--joint) also draw N conditional-simulation "
+                             "realizations from the full joint posterior; "
+                             "writes <out>.samples.npz")
+    p_pred.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for --conditional-sims")
     p_pred.add_argument("--out", default="predictions.parquet")
+
+    p_cv = sub.add_parser(
+        "loocv",
+        help="leave-one-out cross-validation diagnostics for a fitted month",
+    )
+    p_cv.add_argument("--data", nargs="+", required=True, metavar="DATASET",
+                      help="one staged table per process (e.g. XCO2 SIF)")
+    p_cv.add_argument("--params", required=True)
+    p_cv.add_argument("--timestamp", required=True)
+    p_cv.add_argument("--timedeltas", nargs="+", type=int, default=None,
+                      help="per-process month offsets (default: 0 -1 for two "
+                           "processes, all zeros otherwise)")
+    p_cv.add_argument("--process", type=int, default=1)
+    p_cv.add_argument("--predictor", choices=["local", "joint"],
+                      default="local",
+                      help="local-neighborhood LOOCV (self-datum withheld by "
+                           "d > 0, src/point_prediction.py:303-346) or exact "
+                           "joint LOOCV (one-factorization precision "
+                           "identity, src/joint_prediction.py:207-257)")
+    p_cv.add_argument("--max-dist", type=float, default=1e3,
+                      help="neighborhood radius, km (--predictor local)")
+    p_cv.add_argument("--out", default="loocv.parquet")
 
     args = parser.parse_args(argv)
 
@@ -82,7 +119,7 @@ def main(argv=None):
         import bench
 
         bench.main()
-    elif args.cmd in ("fit", "predict"):
+    elif args.cmd in ("fit", "predict", "loocv"):
         from cokriging_tpu.data.grids import main_coords_array, prediction_coords
         from cokriging_tpu.fields import MultiField
         from cokriging_tpu.utils.io import load_table, save_params, load_params, save_table
@@ -172,22 +209,72 @@ def main(argv=None):
                 sedf.to_csv(f"{args.out}.std_errors.csv", index=False)
                 print(sedf.to_string(index=False))
                 print(f"NLL-Hessian standard errors -> {args.out}.std_errors.csv")
-        else:
+        elif args.cmd == "predict":
             from cokriging_tpu.cov import MultivariateMatern
-            from cokriging_tpu.predict import LocalPredictor
+            from cokriging_tpu.predict import JointPredictor, LocalPredictor
 
+            if args.conditional_sims and not args.joint:
+                parser.error("--conditional-sims requires --joint")
             params = load_params(args.params)
             mod = MultivariateMatern(params=params)
             if args.pred_grid is not None:
                 pgrid = load_table(args.pred_grid)[["lat", "lon"]]
             else:
                 pgrid = prediction_coords()
-            out = LocalPredictor(mod, mf)(
-                args.process, pgrid, max_dist=args.max_dist,
-                postprocess=False,
-            )
+            if args.joint:
+                jp = JointPredictor(mod, mf)
+                if args.conditional_sims:
+                    out, samples = jp.sample(
+                        args.process, pgrid,
+                        n_samples=args.conditional_sims,
+                        seed=args.seed, postprocess=False,
+                    )
+                    import numpy as _np
+
+                    _np.savez_compressed(
+                        f"{args.out}.samples.npz", samples=_np.asarray(samples)
+                    )
+                    print(f"{args.conditional_sims} conditional realizations "
+                          f"-> {args.out}.samples.npz")
+                else:
+                    out = jp(args.process, pgrid, postprocess=False)
+            else:
+                out = LocalPredictor(mod, mf)(
+                    args.process, pgrid, max_dist=args.max_dist,
+                    postprocess=False,
+                )
             save_table(args.out, out)
             print(out[["pred", "pred_err"]].describe().to_string())
+            print(f"-> {args.out}")
+        else:  # loocv
+            from cokriging_tpu.cov import MultivariateMatern
+            from cokriging_tpu.predict import JointPredictor, LocalPredictor
+
+            params = load_params(args.params)
+            mod = MultivariateMatern(params=params)
+            if args.predictor == "local":
+                cv = LocalPredictor(mod, mf).cross_validation(
+                    args.process, max_dist=args.max_dist
+                )
+            else:
+                cv = JointPredictor(mod, mf).cross_validation(args.process)
+            save_table(args.out, cv)
+            import numpy as _np
+
+            resid = cv["residual"].to_numpy()
+            finite = _np.isfinite(resid)
+            mspe = float(_np.mean(resid[finite] ** 2))
+            mape = float(_np.mean(_np.abs(resid[finite])))
+            zscore = (
+                cv["residual"] / cv["pred_err"].where(cv["pred_err"] > 0)
+            ).to_numpy()
+            cover = float(
+                _np.mean(_np.abs(zscore[_np.isfinite(zscore)]) <= 1.96)
+            )
+            print(cv[["data", "pred", "residual", "pred_err"]].describe().to_string())
+            print(f"MSPE {mspe:.6g}  MAPE {mape:.6g}  "
+                  f"95% coverage {cover:.3f}  "
+                  f"({int(finite.sum())}/{len(cv)} locations)")
             print(f"-> {args.out}")
 
 

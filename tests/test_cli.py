@@ -145,6 +145,84 @@ def test_cli_fit_bootstrap_and_std_errors(tmp_path):
     assert np.isfinite(sedf["std_err"].values).all()
 
 
+def test_cli_predict_joint_with_conditional_sims(tmp_path):
+    """--joint switches to the exact joint predictor; --conditional-sims N
+    writes an (N, n_pred) realization stack whose mean tracks the
+    predictions."""
+    rng = np.random.default_rng(5)
+    paths = []
+    for k, name in enumerate(["xco2", "sif"]):
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, _staged_table(name, rng, own_seed=500 + k))
+        paths.append(str(p))
+    pfile = tmp_path / "p.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", "0", "0", "--max-dist", "3000", "--n-bins", "8",
+         "--maxiter", "60", "--project-validity", "--out", str(pfile)]
+    )
+    # small prediction grid so the joint system stays tiny
+    mc = main_coords_array()
+    pgrid = pd.DataFrame({"lat": mc[::7, 0] + 0.5, "lon": mc[::7, 1] + 0.5})
+    gfile = tmp_path / "grid.parquet"
+    save_table(gfile, pgrid)
+    out = tmp_path / "jpred.parquet"
+    main(
+        ["predict", "--data", *paths, "--params", str(pfile),
+         "--timestamp", TIMES[1], "--timedeltas", "0", "0",
+         "--joint", "--conditional-sims", "64", "--seed", "7",
+         "--pred-grid", str(gfile), "--out", str(out)]
+    )
+    pred = load_table(out)
+    assert len(pred) == len(pgrid)
+    assert np.isfinite(pred["pred"].values).all()
+    samples = np.load(f"{out}.samples.npz")["samples"]
+    assert samples.shape == (64, len(pgrid))
+    # realization mean ~ prediction (Monte-Carlo error ~ pred_err/8)
+    mc_err = np.abs(samples.mean(axis=0) - pred["pred"].values)
+    assert (mc_err < 4.0 * pred["pred_err"].values / np.sqrt(64) + 1e-3).all()
+
+
+def test_cli_loocv(tmp_path):
+    """loocv writes a residual table and prints MSPE/MAPE/coverage for both
+    predictor flavors."""
+    rng = np.random.default_rng(6)
+    paths = []
+    for k, name in enumerate(["xco2", "sif"]):
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, _staged_table(name, rng, own_seed=600 + k))
+        paths.append(str(p))
+    pfile = tmp_path / "p.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", "0", "0", "--max-dist", "3000", "--n-bins", "8",
+         "--maxiter", "60", "--project-validity", "--out", str(pfile)]
+    )
+    for flavor in ["local", "joint"]:
+        out = tmp_path / f"cv_{flavor}.parquet"
+        main(
+            ["loocv", "--data", *paths, "--params", str(pfile),
+             "--timestamp", TIMES[1], "--timedeltas", "0", "0",
+             "--predictor", flavor, "--max-dist", "3000",
+             "--out", str(out)]
+        )
+        cv = load_table(out)
+        assert {"data", "pred", "residual", "pred_err"} <= set(cv.columns)
+        assert np.isfinite(cv["pred"].values).any()
+
+
+def test_cli_conditional_sims_requires_joint(tmp_path):
+    rng = np.random.default_rng(7)
+    p = tmp_path / "a.parquet"
+    save_table(p, _staged_table("xco2", rng, own_seed=700))
+    with pytest.raises(SystemExit):
+        main(
+            ["predict", "--data", str(p), "--params", "x.npz",
+             "--timestamp", TIMES[1], "--conditional-sims", "4",
+             "--out", str(tmp_path / "x.parquet")]
+        )
+
+
 def test_cli_bootstrap_requires_wls(tmp_path):
     rng = np.random.default_rng(4)
     p = tmp_path / "a.parquet"
