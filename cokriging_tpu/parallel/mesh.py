@@ -139,7 +139,7 @@ def sharded_variogram_pair(
     Returns (centers, means, counts) like
     estimate.empirical.empirical_variogram_pair.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from cokriging_tpu.estimate.empirical import (
         _BLOCK,
@@ -171,7 +171,7 @@ def sharded_variogram_pair(
 
     @partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def min_max(ca_sh, cb_r, dummy):
         offset = jax.lax.axis_index(axis) * chunk
@@ -196,7 +196,7 @@ def sharded_variogram_pair(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def bin_pass(ca_sh, va_sh, cb_r, vb_r, edges_r):
         offset = jax.lax.axis_index(axis) * chunk
@@ -235,7 +235,7 @@ def sharded_vecchia_nll(
         lik: an estimate.vecchia.VecchiaLikelihood scaffold.
         flat: flat parameter vector.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from cokriging_tpu.estimate.vecchia import _windows_nll_sum
 
@@ -264,7 +264,7 @@ def sharded_vecchia_nll(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def partial_sum(flat_r, c_s, z_s, p_s, mv_s, mk_s):
         s = _windows_nll_sum(
