@@ -79,6 +79,11 @@ def main(argv=None):
                         help="exact joint cokriging (one global system, "
                              "src/joint_prediction.py) instead of the "
                              "local-neighborhood predictor")
+    p_pred.add_argument("--solver", choices=["dense", "cg"], default="dense",
+                        help="(--joint) dense Cholesky factorization, or the "
+                             "matrix-free blocked-CG solver "
+                             "(predict/iterative.py) for observation counts "
+                             "past one chip's O(N^2) covariance memory")
     p_pred.add_argument("--conditional-sims", type=int, default=0, metavar="N",
                         help="(--joint) also draw N conditional-simulation "
                              "realizations from the full joint posterior; "
@@ -215,6 +220,11 @@ def main(argv=None):
 
             if args.conditional_sims and not args.joint:
                 parser.error("--conditional-sims requires --joint")
+            if args.solver == "cg" and args.conditional_sims:
+                parser.error(
+                    "--conditional-sims requires the dense solver "
+                    "(posterior covariance); drop --solver cg"
+                )
             params = load_params(args.params)
             mod = MultivariateMatern(params=params)
             if args.pred_grid is not None:
@@ -222,7 +232,12 @@ def main(argv=None):
             else:
                 pgrid = prediction_coords()
             if args.joint:
-                jp = JointPredictor(mod, mf)
+                if args.solver == "cg":
+                    from cokriging_tpu.predict import IterativeJointPredictor
+
+                    jp = IterativeJointPredictor(mod, mf)
+                else:
+                    jp = JointPredictor(mod, mf)
                 if args.conditional_sims:
                     out, samples = jp.sample(
                         args.process, pgrid,

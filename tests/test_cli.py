@@ -183,6 +183,50 @@ def test_cli_predict_joint_with_conditional_sims(tmp_path):
     assert (mc_err < 4.0 * pred["pred_err"].values / np.sqrt(64) + 1e-3).all()
 
 
+def test_cli_predict_joint_cg_solver(tmp_path):
+    """--solver cg routes through the matrix-free iterative joint predictor
+    and agrees with the dense solver."""
+    rng = np.random.default_rng(8)
+    paths = []
+    for k, name in enumerate(["xco2", "sif"]):
+        p = tmp_path / f"{name}.parquet"
+        save_table(p, _staged_table(name, rng, own_seed=800 + k))
+        paths.append(str(p))
+    pfile = tmp_path / "p.npz"
+    main(
+        ["fit", "--data", *paths, "--timestamp", TIMES[1],
+         "--timedeltas", "0", "0", "--max-dist", "3000", "--n-bins", "8",
+         "--maxiter", "60", "--project-validity", "--out", str(pfile)]
+    )
+    mc = main_coords_array()
+    pgrid = pd.DataFrame({"lat": mc[::9, 0] + 0.5, "lon": mc[::9, 1] + 0.5})
+    gfile = tmp_path / "grid.parquet"
+    save_table(gfile, pgrid)
+    outs = {}
+    for solver in ["dense", "cg"]:
+        out = tmp_path / f"pred_{solver}.parquet"
+        main(
+            ["predict", "--data", *paths, "--params", str(pfile),
+             "--timestamp", TIMES[1], "--timedeltas", "0", "0",
+             "--joint", "--solver", solver,
+             "--pred-grid", str(gfile), "--out", str(out)]
+        )
+        outs[solver] = load_table(out)
+    np.testing.assert_allclose(
+        outs["cg"]["pred"], outs["dense"]["pred"], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        outs["cg"]["pred_err"], outs["dense"]["pred_err"], rtol=1e-4, atol=1e-6
+    )
+    # conditional sims need the dense posterior
+    with pytest.raises(SystemExit):
+        main(
+            ["predict", "--data", *paths, "--params", str(pfile),
+             "--timestamp", TIMES[1], "--joint", "--solver", "cg",
+             "--conditional-sims", "4", "--out", str(tmp_path / "x.parquet")]
+        )
+
+
 def test_cli_loocv(tmp_path):
     """loocv writes a residual table and prints MSPE/MAPE/coverage for both
     predictor flavors."""
