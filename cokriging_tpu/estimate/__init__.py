@@ -3,8 +3,18 @@ from cokriging_tpu.estimate.empirical import (  # noqa: F401
     EmpiricalVariogram,
     empirical_variograms,
 )
-from cokriging_tpu.estimate.wls import fit_wls, composite_wls_cost  # noqa: F401
-from cokriging_tpu.estimate.nll import neg_log_likelihood, fit_nll  # noqa: F401
+from cokriging_tpu.estimate.wls import (  # noqa: F401
+    cauchy_schwarz_check,
+    composite_wls_cost,
+    fit_wls,
+    fit_wls_batch,
+    moment_init,
+)
+from cokriging_tpu.estimate.nll import (  # noqa: F401
+    fit_nll,
+    fit_nll_device,
+    neg_log_likelihood,
+)
 from cokriging_tpu.estimate.bootstrap import (  # noqa: F401
     BootstrapResult,
     batched_variograms,

@@ -3,4 +3,6 @@ from cokriging_tpu.fields.field import (  # noqa: F401
     MultiField,
     TrendStats,
     apply_timedelta,
+    fit_linear_trend,
+    fit_ols,
 )
