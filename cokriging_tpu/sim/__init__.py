@@ -3,3 +3,4 @@ from cokriging_tpu.sim.cofield import (  # noqa: F401
     CartesianGrid,
     MultivariateRandomField,
 )
+from cokriging_tpu.sim.spectral import SpectralRandomField  # noqa: F401

@@ -36,7 +36,17 @@ class CartesianGrid:
         pts = np.array([xx, yy]).T.reshape(-1, 2)
         self.coords = pd.DataFrame(pts, columns=["x", "y"])
         self.count = len(self.coords)
-        self.dist = euclidean_matrix(jnp.asarray(pts), jnp.asarray(pts))
+        self._dist = None
+
+    @property
+    def dist(self):
+        """Full n x n Euclidean distance matrix — materialized lazily so
+        the O(n log n) spectral simulator can use large grids whose dense
+        matrix would not fit (sim/spectral.py never touches it)."""
+        if self._dist is None:
+            pts = jnp.asarray(self.coords.values)
+            self._dist = euclidean_matrix(pts, pts)
+        return self._dist
 
 
 class MultivariateRandomField:
