@@ -123,22 +123,38 @@ class SpectralRandomField(MultivariateRandomField):
                 "somewhere) — check cov.spectral.rho_max / repair with "
                 "cov.spectral.project_to_valid."
             )
-        if min_rel < 0:
+        # eigvalsh rounding noise sits at the ~1e-15 level even for models
+        # that are PSD in exact arithmetic; only warn on meaningful mass
+        if min_rel < -1e-12:
             warnings.warn(
                 f"clipped {-min_rel:.2e} relative negative spectral mass"
             )
         self._mx, self._my = mx, my
         self.min_rel_eig = float(min_rel)
-        # per-frequency PSD square root B(k) = V sqrt(max(w, 0)) V^T
-        w, v = jnp.linalg.eigh(spec)
-        w = jnp.maximum(w, 0.0)
-        self._B = jnp.einsum("xyik,xyk,xyjk->xyij", v, jnp.sqrt(w), v)
+        # per-frequency PSD square root B(k) = V sqrt(max(w, 0)) V^T,
+        # built on the host in f64 (spec is already a host array); the
+        # device only ever sees B in a backend-supported dtype — TPU has
+        # no f64/c128, so the sampling FFT there runs in f32/c64
+        w, v = np.linalg.eigh(spec)
+        w = np.maximum(w, 0.0)
+        B = np.einsum("xyik,xyk,xyjk->xyij", v, np.sqrt(w), v)
+        if jax.default_backend() == "tpu":
+            self._dtype = jnp.float32
+        else:
+            self._dtype = jnp.float64 if jax.config.x64_enabled else jnp.float32
+        self._B = jnp.asarray(B, dtype=self._dtype)
         self.fields = self._simulate()
 
     def _build_spectrum(self, mx, my, dx, dy):
         """(mx, my, p, p) real spectral matrices = 2-D DFT of every
         (cross-)covariance block on the torus lag grid, and the most
-        negative eigenvalue relative to the largest."""
+        negative eigenvalue relative to the largest.
+
+        The covariance blocks are evaluated with the device K_nu kernel,
+        but the DFT and eigendecomposition run on the host in f64: the
+        spectrum build is a one-time setup cost, its PSD verdict wants
+        exact arithmetic, and TPU has no c128 FFT at all.
+        """
         p = self.n_procs
         lx = _minimal_image_lags(mx, dx)
         ly = _minimal_image_lags(my, dy)
@@ -153,14 +169,14 @@ class SpectralRandomField(MultivariateRandomField):
                     c = covariance(params, i, h)
                 else:
                     c = cross_covariance(params, i, j, h)
-                s = jnp.real(jnp.fft.fft2(c))
+                s = np.real(np.fft.fft2(np.asarray(c, dtype=np.float64)))
                 blocks[i][j] = s
                 blocks[j][i] = s
-        spec = jnp.stack(
-            [jnp.stack(row, axis=-1) for row in blocks], axis=-1
+        spec = np.stack(
+            [np.stack(row, axis=-1) for row in blocks], axis=-1
         )  # (mx, my, p, p)
-        w = jnp.linalg.eigvalsh(spec)
-        min_rel = float(w.min() / jnp.abs(w).max())
+        w = np.linalg.eigvalsh(spec)
+        min_rel = float(w.min() / np.abs(w).max())
         return spec, min_rel
 
     def _draw(self, key, n_samples: int) -> jnp.ndarray:
@@ -175,9 +191,17 @@ class SpectralRandomField(MultivariateRandomField):
         n_draw = (n_samples + 1) // 2
         k1, k2 = jax.random.split(key)
         shape = (n_draw, mx, my, p)
-        eps = jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+        # eps dtype follows B: c64 on TPU (no c128 there), c128 on CPU f64.
+        # lax.complex (not `+ 1j *`) keeps the literal-c128 constant out of
+        # the HLO — TPU rejects any C128 element type, even a constant.
+        eps = jax.lax.complex(
+            jax.random.normal(k1, shape, dtype=self._dtype),
+            jax.random.normal(k2, shape, dtype=self._dtype),
+        )
         y = jnp.einsum("xyij,sxyj->sxyi", self._B, eps)
-        y = jnp.fft.fft2(y, axes=(1, 2)) / np.sqrt(mx * my)
+        # weak-typed Python float: a np.float64 scalar here would promote
+        # the c64 draw to c128, which TPU cannot compile
+        y = jnp.fft.fft2(y, axes=(1, 2)) / float(np.sqrt(mx * my))
         out = jnp.concatenate([jnp.real(y), jnp.imag(y)], axis=0)
         out = out[:n_samples, : self._nx, : self._ny, :]
         return jnp.moveaxis(out, -1, 1)

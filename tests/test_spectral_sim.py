@@ -17,7 +17,9 @@ def model():
     # floor (AT the floor, det S(w) -> 0 as w -> inf, and fine grids reach
     # frequencies where rounding flips it negative), l12 = min(l1, l2),
     # |rho| < rho_max (= 0.652 here, cov.spectral.rho_max)
-    flat = jnp.array([1.0, 0.8, 1.5, 1.0, 1.4, 0.15, 0.1, 0.1, 0.05, 0.02, -0.4])
+    # flat nu entries are triu order (nu11, nu12, nu22): nu11=1.5,
+    # nu12=1.4 > (1.5 + 1.0)/2 = 1.25 floor, nu22=1.0
+    flat = jnp.array([1.0, 0.8, 1.5, 1.4, 1.0, 0.15, 0.1, 0.1, 0.05, 0.02, -0.4])
     return MultivariateMatern(params=MaternParams.from_flat(flat))
 
 
@@ -78,9 +80,11 @@ def test_ensemble_sample_covariance(model):
     )
     err = np.abs(emp - dense).max()
     assert err < 6.0 / np.sqrt(ns), f"max covariance error {err:.4f}"
-    # consecutive draws (real/imag of one complex pass) are independent:
-    cross = np.abs(flat[0::2][: ns // 2 - 1].T @ flat[1::2][: ns // 2 - 1])
-    assert (cross / (ns // 2)).max() < 10.0 / np.sqrt(ns)
+    # Re/Im of one complex pass are independent: draw s and its twin land
+    # at indices s and s + n_draw (concatenated halves in _draw), so pair
+    # the halves elementwise across the concatenation boundary.
+    cross = np.abs(flat[: ns // 2].T @ flat[ns // 2 :]) / (ns // 2)
+    assert cross.max() < 10.0 / np.sqrt(ns)
 
 
 def test_sampling_harness_interop(rf):
