@@ -124,7 +124,13 @@ def params_rho_max(params, i: int, j: int, d=2):
     )
 
 
-def project_to_valid(params, margin: float = 0.99, d=2, lift_nu: bool = True):
+def project_to_valid(
+    params,
+    margin: float = 0.99,
+    d=2,
+    lift_nu: bool = True,
+    parsimony: bool = False,
+):
     """Project a fitted MaternParams onto the spectral validity region.
 
     Two moves, both preserving the marginal structure exactly:
@@ -137,19 +143,40 @@ def project_to_valid(params, margin: float = 0.99, d=2, lift_nu: bool = True):
     2. clip every cross-correlation to +/- margin * rho_max (its exact
        spectral validity bound).
 
+    ``parsimony=True`` snaps the cross-structure onto the parsimonious
+    bivariate Matern (Gneiting et al. 2010 §3), leaving marginals exactly
+    as fitted: nu_ij = (nu_ii + nu_jj)/2 from BOTH directions, and
+    len_scale_ij = sqrt(len_scale_ii * len_scale_jj). An unconstrained
+    WLS fit can land on cross parameters that are technically valid only
+    with |rho| near 0 — e.g. nu_ij far above the floor, or a cross scale
+    well below the marginal scales, where the high-frequency spectral
+    ratio (sqrt(l_ii l_jj)/l_ij)^(-2 nu) crushes the exact bound — and
+    clipping rho there erases the cross-structure the fit found; the
+    parsimonious cross keeps the admissible region wide.
+
     The reference warns and lets the prediction go NaN when a fitted model
     is non-PD at the data locations (src/joint_prediction.py:60-66);
     projecting the WLS fit instead guarantees a usable joint covariance.
     """
     p = params.n_procs
     nu = params.nu
-    if lift_nu:
+    if lift_nu or parsimony:
         for i in range(p):
             for j in range(i + 1, p):
                 floor = 0.5 * (params.nu[i, i] + params.nu[j, j])
-                v = jnp.maximum(params.nu[i, j], floor)
+                if parsimony:
+                    v = floor
+                else:
+                    v = jnp.maximum(params.nu[i, j], floor)
                 nu = nu.at[i, j].set(v).at[j, i].set(v)
         params = params.replace(nu=nu)
+    if parsimony:
+        ls = params.len_scale
+        for i in range(p):
+            for j in range(i + 1, p):
+                v = jnp.sqrt(params.len_scale[i, i] * params.len_scale[j, j])
+                ls = ls.at[i, j].set(v).at[j, i].set(v)
+        params = params.replace(len_scale=ls)
     rho = params.rho
     for i in range(p):
         for j in range(i + 1, p):

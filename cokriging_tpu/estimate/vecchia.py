@@ -292,6 +292,20 @@ class VecchiaLikelihood:
         n = coords.shape[0]
         m = int(min(m, n - 1))
         self.n, self.m, self.geodesic, self.chunk = n, m, geodesic, chunk
+        if (
+            coords.dtype == np.float64
+            and n > 20_000
+            and jax.default_backend() == "tpu"
+        ):
+            import warnings
+
+            warnings.warn(
+                "VecchiaLikelihood got float64 inputs on a TPU backend: "
+                "f64 is emulated there (~50x slower), and at this size "
+                "the emulated programs have been observed to fault the "
+                "TPU runtime. Cast coords/values to float32 for the TPU "
+                "fast path (DESIGN.md §6)."
+            )
 
         perm = maxmin_order(coords, geodesic)
         self.perm = perm

@@ -40,20 +40,29 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     n = 40_000 if on_tpu else 300         # per process
     n_pred = 6_000 if on_tpu else 100
-    m = 30 if on_tpu else 12
-    print(f"backend={jax.default_backend()} n/process={n} m={m}")
+    # m = 20 keeps the demo fit under ~10 min on one chip (the per-term
+    # K_nu work scales as m^2); accuracy studies use m sweeps
+    # (examples/vecchia_scaling.py)
+    m = 20 if on_tpu else 12
+    # f32 on TPU (the fast path, DESIGN.md §6): emulated f64 there is
+    # ~50x slower and at this scale faults the worker outright
+    dtype = np.float32 if on_tpu else np.float64
+    print(
+        f"backend={jax.default_backend()} n/process={n} m={m} "
+        f"dtype={np.dtype(dtype).name}"
+    )
 
     # synthetic CONUS-like bivariate field: shared smooth signal + noise
     rng = np.random.default_rng(0)
-    lat = rng.uniform(24.0, 50.0, n)
-    lon = rng.uniform(-124.0, -67.0, n)
+    lat = rng.uniform(24.0, 50.0, n).astype(dtype)
+    lon = rng.uniform(-124.0, -67.0, n).astype(dtype)
     base = np.sin(np.deg2rad(lat) * 6.0) + 0.5 * np.cos(np.deg2rad(lon) * 4.0)
     c1 = np.column_stack([lat, lon])
     c2 = np.column_stack([lat, lon])[::-1]
     z1 = base + 0.3 * rng.normal(size=n)
     z2 = -0.6 * base[::-1] + 0.3 * rng.normal(size=n)
-    z1 = (z1 - z1.mean()) / z1.std()
-    z2 = (z2 - z2.mean()) / z2.std()
+    z1 = ((z1 - z1.mean()) / z1.std()).astype(dtype)
+    z2 = ((z2 - z2.mean()) / z2.std()).astype(dtype)
 
     fields = []
     for c, z, name in ((c1, z1, "XCO2"), (c2, z2, "SIF")):
@@ -71,7 +80,8 @@ def main():
 
     t0 = time.perf_counter()
     params, info = fit_vecchia(
-        mf, init=init, m=m, maxiter=40, main=False, chunk=4096
+        mf, init=init, m=m, maxiter=20 if on_tpu else 40, main=False,
+        chunk=4096,
     )
     t_fit = time.perf_counter() - t0
     print(
@@ -83,7 +93,7 @@ def main():
     # O(n)-memory cokriging of SIF on a fresh grid
     glat = np.linspace(25.0, 49.0, int(np.sqrt(n_pred)))
     glon = np.linspace(-123.0, -68.0, int(np.sqrt(n_pred)))
-    gg = np.stack(np.meshgrid(glat, glon), -1).reshape(-1, 2)
+    gg = np.stack(np.meshgrid(glat, glon), -1).reshape(-1, 2).astype(dtype)
     mod = MultivariateMatern(params=params)
     lp = LocalPredictor(mod, mf, materialize_cov=False)
     t0 = time.perf_counter()

@@ -123,4 +123,10 @@ def main():
 
 
 if __name__ == "__main__":
+    # Tiny-problem workflow (51x51 sim grid): the CPU backend gives true
+    # IEEE f64 and avoids paying remote-compile latency per shape on the
+    # TPU tunnel, same as the other research-parity scripts.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     main()

@@ -145,4 +145,11 @@ def main():
 
 
 if __name__ == "__main__":
+    # Tiny-problem workflow (small sim grids, hundreds of distinct small
+    # shapes across the bootstrap/Hessian stages): the CPU backend gives
+    # true IEEE f64 and avoids per-shape remote-compile latency on the
+    # TPU tunnel, same as the other research-parity scripts.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     main()

@@ -176,7 +176,11 @@ def main():
     from cokriging_tpu.cov.spectral import params_rho_max, project_to_valid
 
     nu12_raw = float(np.asarray(params.nu[0, 1]))
-    params = project_to_valid(params)
+    # parsimony: unconstrained WLS can run nu12 to its bound (3.5), where
+    # the exact |rho| bound collapses and plain clipping would erase the
+    # cross-structure; the parsimonious choice nu12 = (nu11 + nu22)/2
+    # keeps the admissible region wide (Gneiting et al. 2010 §3)
+    params = project_to_valid(params, parsimony=True)
     bound = float(np.asarray(params_rho_max(params, 0, 1)))
     rho_v = float(np.asarray(params.rho[0, 1]))
     print(

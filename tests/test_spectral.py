@@ -125,3 +125,49 @@ def test_project_to_valid_lifts_cross_smoothness():
     )
     e = np.linalg.eigvalsh(np.asarray(block_covariance(proj, dists))).min()
     assert e > -1e-10
+
+
+def test_project_to_valid_parsimony_rescues_collapsed_bound():
+    """The failure mode the xcov_joint_pipeline workflow hit: an
+    unconstrained WLS fit with all nus at the 3.5 bound and a cross scale
+    ~half the marginal scales has an exact |rho| bound crushed by the
+    high-frequency spectral ratio (sqrt(l11 l22)/l12)^(-2 nu) — plain
+    projection clips rho to ~0, the parsimonious projection (nu12 = floor,
+    l12 = geometric mean) keeps the fitted cross-structure and stays PD."""
+    from cokriging_tpu.cov.spectral import project_to_valid, params_rho_max
+    from cokriging_tpu.cov.params import MaternParams
+    from cokriging_tpu.cov.matern import block_covariance
+    from cokriging_tpu.estimate.nll import joint_distance_blocks
+
+    p = MaternParams.default(2)
+    nu = jnp.full((2, 2), 3.5)
+    ls = p.len_scale.at[0, 0].set(1020.0).at[1, 1].set(1078.0)
+    ls = ls.at[0, 1].set(561.0).at[1, 0].set(561.0)
+    rho = p.rho.at[0, 1].set(-0.58).at[1, 0].set(-0.58)
+    p = p.replace(nu=nu, len_scale=ls, rho=rho)
+    assert float(params_rho_max(p, 0, 1)) < 0.05  # collapsed
+
+    plain = project_to_valid(p)
+    assert abs(float(np.asarray(plain.rho[0, 1]))) < 0.05  # rho erased
+
+    pars = project_to_valid(p, parsimony=True)
+    # marginals untouched
+    np.testing.assert_allclose(np.asarray(pars.nu)[[0, 1], [0, 1]], 3.5)
+    np.testing.assert_allclose(
+        np.asarray(pars.len_scale)[[0, 1], [0, 1]], [1020.0, 1078.0]
+    )
+    # parsimonious cross: nu floor + geometric-mean scale, rho survives
+    assert float(np.asarray(pars.nu[0, 1])) == 3.5
+    np.testing.assert_allclose(
+        float(np.asarray(pars.len_scale[0, 1])),
+        float(np.sqrt(1020.0 * 1078.0)),
+    )
+    np.testing.assert_allclose(float(np.asarray(pars.rho[0, 1])), -0.58)
+
+    rng = np.random.default_rng(2)
+    coords = [rng.uniform(0, 3000, size=(60, 2)) for _ in range(2)]
+    dists = joint_distance_blocks(
+        [jnp.asarray(c) for c in coords], geodesic=False
+    )
+    e = np.linalg.eigvalsh(np.asarray(block_covariance(pars, dists))).min()
+    assert e > -1e-10
