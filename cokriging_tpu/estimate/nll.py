@@ -467,7 +467,10 @@ def fit_nll(
     if not res.success:
         warnings.warn("NLL optimization did not converge.")
     x_fit = lo_np + (hi_np - lo_np) / (1.0 + np.exp(-res.x))
-    params = MaternParams.from_flat(jnp.asarray(x_fit), spec=spec)
+    # params come back in the residuals' dtype: f64 params handed to an
+    # f32/TPU pipeline silently promote every downstream covariance op to
+    # emulated f64 (~50x slower)
+    params = MaternParams.from_flat(jnp.asarray(x_fit, z.dtype), spec=spec)
     info = {
         "nll": float(res.fun),
         "success": bool(res.success),

@@ -509,7 +509,12 @@ def fit_vecchia(
                  "maxcor": 20},
     )
     x = np.asarray(lo_np + (hi_np - lo_np) / (1.0 + np.exp(-res.x)))
-    params = MaternParams.from_flat(jnp.asarray(x), spec=spec)
+    # return params in the dtype the likelihood computed in: the host
+    # optimizer works in f64, but handing f64 params to an f32/TPU
+    # pipeline silently promotes every downstream covariance op to
+    # emulated f64 (~50x slower; observed stalling the large-n example's
+    # prediction stage for half an hour)
+    params = MaternParams.from_flat(jnp.asarray(x, win_dt), spec=spec)
     return params, {
         "nll": float(res.fun),
         "success": bool(res.success),

@@ -294,7 +294,12 @@ def fit_wls(
         )
         if not res.success:
             warnings.warn("ERROR: optimization did not converge.")
-        params = MaternParams.from_flat(jnp.asarray(res.x), spec=spec)
+        # cast back to the estimate's compute dtype: f64 params handed to
+        # an f32/TPU pipeline silently promote every downstream covariance
+        # op to emulated f64 (~50x slower)
+        params = MaternParams.from_flat(
+            jnp.asarray(res.x, centers.dtype), spec=spec
+        )
         cost, n_iter, success = float(res.fun), int(res.nit), bool(res.success)
     elif method == "jax":
         x, cost, n_iter = _fit_lbfgs_box(

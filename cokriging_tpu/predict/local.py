@@ -307,21 +307,51 @@ class LocalPredictor:
             pcoords.values if isinstance(pcoords, pd.DataFrame) else np.atleast_2d(pcoords)
         )
         k_each = self._neighborhood_widths(np.asarray(p_arr), max_dist, _cv, i)
-        pred, err, n_nb = _local_predict_batch(
-            params,
-            self._coords,
-            self._values,
-            self.joint_cov,
-            p_arr,
-            max_dist,
-            i,
-            self.mf.geodesic,
-            self._sizes,
-            k_each,
-            _cv,
-            tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid),
-            direct_cov=not self.materialize_cov,
-        )
+        n_valid = tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid)
+
+        def run_batch(pc):
+            return _local_predict_batch(
+                params,
+                self._coords,
+                self._values,
+                self.joint_cov,
+                pc,
+                max_dist,
+                i,
+                self.mf.geodesic,
+                self._sizes,
+                k_each,
+                _cv,
+                n_valid,
+                direct_cov=not self.materialize_cov,
+            )
+
+        n_pred = int(p_arr.shape[0])
+        if self.materialize_cov:
+            pred, err, n_nb = run_batch(p_arr)
+        else:
+            # The direct-assembly path evaluates a (B, K, K) elementwise
+            # Matern per dispatch whose fixed-point recurrences carry ~11
+            # live K^2-sized buffers per location — vmapping every
+            # location at once is O(n_pred * K^2) HBM and stalls/OOMs at
+            # large n (observed: 4k cells x 1024-wide neighborhoods needs
+            # >60 GB). Chunk locations so the live set stays a few GB; all
+            # chunks share one compiled program (the last is padded).
+            k_tot = max(sum(k_each), 1)
+            chunk = max(16, _bucket_pow2(int(6.7e7 // (k_tot * k_tot))))
+            chunk = min(chunk, _bucket_pow2(n_pred))
+            pad = (-n_pred) % chunk
+            pc_all = jnp.concatenate(
+                [p_arr, jnp.repeat(p_arr[:1], pad, axis=0)]
+            ) if pad else p_arr
+            parts = [
+                run_batch(pc_all[s : s + chunk])
+                for s in range(0, n_pred + pad, chunk)
+            ]
+            pred, err, n_nb = (
+                jnp.concatenate([p[k] for p in parts])[:n_pred]
+                for k in range(3)
+            )
         pred, err = np.asarray(pred), np.asarray(err)
         nan_mask = np.isnan(pred)
         if nan_mask.any():

@@ -39,7 +39,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     n = 40_000 if on_tpu else 300         # per process
-    n_pred = 6_000 if on_tpu else 100
+    n_pred = 4_000 if on_tpu else 100
     # m = 20 keeps the demo fit under ~10 min on one chip (the per-term
     # K_nu work scales as m^2); accuracy studies use m sweeps
     # (examples/vecchia_scaling.py)
@@ -89,6 +89,17 @@ def main():
         f"({t_fit:.1f}s, N={info['n']})"
     )
     print(f"fitted rho = {float(params.rho[0, 1]):+.3f} (signal is negative)")
+    print("fitted flat:", np.round(np.asarray(params.to_flat()), 3).tolist())
+
+    # unconstrained likelihood fits can land outside the spectral validity
+    # region (the reference's validity check is a TODO stub,
+    # src/model.py:172); predicting with an invalid model makes every
+    # local Cholesky non-PD -> all-NaN. Project onto the parsimonious
+    # valid cross-structure first (cov.spectral, Gneiting 2010 §3).
+    from cokriging_tpu.cov.spectral import project_to_valid
+
+    params = project_to_valid(params, parsimony=True).astype(dtype)
+    print(f"projected rho = {float(params.rho[0, 1]):+.3f}")
 
     # O(n)-memory cokriging of SIF on a fresh grid
     glat = np.linspace(25.0, 49.0, int(np.sqrt(n_pred)))
@@ -96,8 +107,12 @@ def main():
     gg = np.stack(np.meshgrid(glat, glon), -1).reshape(-1, 2).astype(dtype)
     mod = MultivariateMatern(params=params)
     lp = LocalPredictor(mod, mf, materialize_cov=False)
+    # at ~14 km mean point spacing a 120 km radius already holds ~500
+    # joint neighbors per cell; the reference's 1000 km default (sized for
+    # ~200 obs/field, src/point_prediction.py:45) would gather ~16k-wide
+    # neighborhoods here and stall the vmapped solves
     t0 = time.perf_counter()
-    out = lp(1, gg, max_dist=800.0, postprocess=False)
+    out = lp(1, gg, max_dist=120.0, postprocess=False)
     t_pred = time.perf_counter() - t0
     ok = np.isfinite(out["pred"].values)
     print(
@@ -107,15 +122,32 @@ def main():
     assert float(params.rho[0, 1]) < 0.0
     assert ok.mean() > 0.95
 
-    # exact joint cokriging at the same scale, matrix-free: the blocked-CG
-    # solver re-assembles covariance row tiles on the fly, so the full
-    # (2n x 2n) system is solved without ever allocating it
+    # exact joint cokriging, matrix-free: the blocked-CG solver
+    # re-assembles covariance row tiles on the fly, so the joint system is
+    # solved without ever allocating it. Memory is O(block * N), but
+    # wall-clock is (CG iters) x (one full N^2 K_nu assembly) — so the
+    # bounded demo runs it at the 25k north-star scale on a subset (the
+    # dense JointPredictor's ~30k f32 memory ceiling is where this path
+    # takes over; tests/test_iterative.py pins the two paths equal)
     from cokriging_tpu.predict import IterativeJointPredictor
 
-    n_exact = min(len(gg), 512)
+    if on_tpu:
+        n_sub = 12_500
+        sub_fields = []
+        for c, zv, name in ((c1, z1, "XCO2"), (c2, z2, "SIF")):
+            fsub = Field.from_arrays(c[:n_sub], zv[:n_sub], name)
+            fsub.geodesic = True
+            sub_fields.append(fsub)
+        mf_exact = MultiField(fields=sub_fields)
+    else:
+        mf_exact = mf
+    n_exact = min(len(gg), 256)
+    # one rhs chunk (rhs_batch >= n_exact): every CG iteration re-assembles
+    # the covariance tile-by-tile, so chunks multiply the N^2 work
     ijp = IterativeJointPredictor(
-        mod, mf, block=1024 if on_tpu else 128,
-        rhs_batch=256 if on_tpu else 64, tol=1e-5,
+        mod, mf_exact, block=512 if on_tpu else 128,
+        rhs_batch=256 if on_tpu else 64, tol=1e-3 if on_tpu else 1e-5,
+        maxiter=40 if on_tpu else 1000,
     )
     t0 = time.perf_counter()
     jout = ijp(1, gg[:n_exact], postprocess=False)

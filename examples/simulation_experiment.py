@@ -30,6 +30,16 @@ EPS = 0.1
 
 
 def main():
+    import time
+
+    _t = time.perf_counter()
+
+    def stage(name):
+        nonlocal _t
+        now = time.perf_counter()
+        print(f"[{now - _t:6.1f}s] {name}", flush=True)
+        _t = now
+
     import matplotlib
 
     matplotlib.use("Agg")
@@ -55,6 +65,7 @@ def main():
     samples = rf.sample(size=100, epsilon=[EPS, EPS], seed=7)
     mf = rf.to_fields(samples)
     plot_samples(samples).savefig(OUT / "sim_samples.png", dpi=120)
+    stage("simulate + sample")
 
     # --- parameter recovery: WLS on empirical variograms ---
     spec = ParamSpec(
@@ -72,23 +83,28 @@ def main():
         OUT / "sim_variograms.png", dpi=120
     )
     print("WLS fit:  ", np.round(np.asarray(p_wls.to_flat()), 3).tolist())
+    stage("WLS fit")
 
     # --- parameter recovery: exact NLL ---
     p_nll, info = fit_nll(mf, init=init, jitter=1e-8, maxiter=150)
     print("NLL fit:  ", np.round(np.asarray(p_nll.to_flat()), 3).tolist())
     print("truth:    ", TRUTH, f"(NLL {info['nll']:.2f}, {info['n_iter']} iters)")
+    stage("exact NLL fit")
 
     # --- parameter recovery: Vecchia approximation (the large-N estimator,
     #     validated here on the same small cofield) ---
     from cokriging_tpu.estimate.vecchia import fit_vecchia
 
-    p_vec, info_v = fit_vecchia(mf, init=init, m=25, maxiter=80, main=False)
+    # m=15/maxiter=40 keep the demo quick; the estimator-quality sweeps
+    # live in examples/vecchia_scaling.py and tests/test_vecchia.py
+    p_vec, info_v = fit_vecchia(mf, init=init, m=15, maxiter=40, main=False)
     print(
         "Vecchia:  ",
         np.round(np.asarray(p_vec.to_flat()), 3).tolist(),
         f"(m={info_v['m']}, nll {info_v['nll']:.2f})",
     )
     assert abs(float(p_vec.rho[0, 1]) - TRUTH[-1]) < 0.25
+    stage("Vecchia fit")
 
     # --- prediction with the truth model ---
     pcoords = grid.coords.values
@@ -99,6 +115,7 @@ def main():
     truth_vals = rf.fields[0]["value"].values
     diff = truth_vals - pred_biv["pred"].values
     print(f"cokriging MSPE {np.nanmean(diff**2):.4f}  MAPE {np.nanmean(np.abs(diff)):.4f}")
+    stage("joint cokriging")
 
     # --- univariate comparison (error-ratio map) ---
     spec1 = ParamSpec(n_procs=1)
@@ -120,6 +137,7 @@ def main():
     cover = float((np.abs(z) < 1.96).mean())
     print(f"LOOCV 95% coverage: {cover:.3f} (z std {z.std():.3f})")
     plot_cv_resid(cv, "Z0").savefig(OUT / "sim_loocv.png", dpi=120)
+    stage("LOOCV + figures")
 
 
 if __name__ == "__main__":
