@@ -89,6 +89,12 @@ def rho_max(nu1, l1, nu2, l2, nu12, l12, d=2, n_freq=2048):
 
     Returns the bound clipped to [0, 1].
     """
+    # tail-exponent tolerance keys off the dtype the nus ARRIVED in:
+    # a parsimonious nu12 = (nu1+nu2)/2 computed upstream in f32 carries
+    # ~eps32*(nu1+nu2) rounding even if we promote to f64 here.
+    in_eps = max(
+        jnp.finfo(jnp.asarray(v).dtype).eps for v in (nu1, nu2, nu12)
+    )
     nu1, l1, nu2, l2, nu12, l12 = (
         jnp.asarray(v, jnp.result_type(float))
         for v in (nu1, l1, nu2, l2, nu12, l12)
@@ -105,9 +111,14 @@ def rho_max(nu1, l1, nu2, l2, nu12, l12, d=2, n_freq=2048):
     min_log = jnp.min(log_ratio)
     # exact w -> infinity limit: exponent 2 (2 nu12 - nu1 - nu2) on w^2.
     # Tolerance, not a strict < 0: nu12 == (nu1 + nu2) / 2 must not flip to
-    # -inf on f64 rounding (the parsimonious case lands exactly on it).
+    # -inf on rounding (the parsimonious case lands exactly on it). The
+    # tolerance is input-dtype-aware (advisor r2): an f32 parsimonious
+    # midpoint carries ~eps32*(nu1+nu2) rounding, far above the old fixed
+    # f64-calibrated 1e-9 — which misread it as 'below the floor' and
+    # silently clipped rho to 0 on the TPU path.
     tail_exp = 2.0 * nu12 - nu1 - nu2
-    min_log = jnp.where(tail_exp < -1e-9, -jnp.inf, min_log)
+    tol = 100.0 * in_eps * (nu1 + nu2)
+    min_log = jnp.where(tail_exp < -tol, -jnp.inf, min_log)
     return jnp.clip(jnp.exp(0.5 * min_log), 0.0, 1.0)
 
 
@@ -181,7 +192,9 @@ def project_to_valid(
     for i in range(p):
         for j in range(i + 1, p):
             bound = margin * params_rho_max(params, i, j, d=d)
-            r = jnp.clip(params.rho[i, j], -bound, bound)
+            # rho_max promotes to the default float; cast back so the
+            # scatter into an f32 rho array stays dtype-clean on TPU
+            r = jnp.clip(params.rho[i, j], -bound, bound).astype(rho.dtype)
             rho = rho.at[i, j].set(r).at[j, i].set(r)
     return params.replace(rho=rho)
 

@@ -81,9 +81,8 @@ def chol_lower_blocked(A, block: int = 1024):
     as a single MXU matmul at ``Precision.HIGHEST`` (the default f32 path
     rides the MXU's bf16 rounding — unacceptable for a factor whose
     diagonal feeds a 2*sum(log diag) log-determinant). Flop count is the
-    ideal n^3/3, all of it in MXU-sized matmuls; XLA's own TPU cholesky
-    expander runs the same shape noticeably slower (see
-    tools/bench_chol.py measurements in docs/DESIGN.md).
+    ideal n^3/3, all of it in MXU-sized matmuls (compare against XLA's own
+    TPU cholesky expander with tools/bench_chol.py).
 
     NaN semantics match ``jnp.linalg.cholesky``: a non-PD pivot makes the
     diagonal-block factor NaN and the NaNs propagate into every later

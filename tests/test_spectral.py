@@ -2,6 +2,7 @@
 parameterization conversions (research/matern_spectrum.ipynb parity)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cokriging_tpu.cov.spectral import (
@@ -171,3 +172,42 @@ def test_project_to_valid_parsimony_rescues_collapsed_bound():
     )
     e = np.linalg.eigvalsh(np.asarray(block_covariance(pars, dists))).min()
     assert e > -1e-10
+
+
+def test_rho_max_f32_parsimonious_tolerance():
+    """f32 regression (advisor r2, high): nu12 = (nu1+nu2)/2 computed in
+    f32 rounds the tail exponent 2*nu12-nu1-nu2 to ~±2.4e-7, which a fixed
+    f64-calibrated -1e-9 tolerance misreads as 'below the Gneiting floor',
+    flipping rho_max to 0 and silently erasing the cross-correlation. The
+    tolerance must be dtype-aware."""
+    from cokriging_tpu.cov.spectral import rho_max, project_to_valid
+    from cokriging_tpu.cov.params import MaternParams
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        nu1 = np.float32(rng.uniform(0.3, 3.5))
+        nu2 = np.float32(rng.uniform(0.3, 3.5))
+        l1 = np.float32(rng.uniform(200.0, 1500.0))
+        l2 = np.float32(rng.uniform(200.0, 1500.0))
+        nu12 = (nu1 + nu2) / np.float32(2.0)  # f32 parsimonious midpoint
+        l12 = np.sqrt(l1 * l2).astype(np.float32)
+        b = float(
+            rho_max(
+                jnp.float32(nu1), jnp.float32(l1),
+                jnp.float32(nu2), jnp.float32(l2),
+                jnp.float32(nu12), jnp.float32(l12),
+            )
+        )
+        assert b > 0.05, (nu1, nu2, b)
+
+    # full f32 parsimonious projection keeps a nonzero rho
+    p = MaternParams.default(2)
+    nu = p.nu.at[0, 0].set(1.12345).at[1, 1].set(2.76543)
+    ls = p.len_scale.at[0, 0].set(700.0).at[1, 1].set(900.0)
+    rho = p.rho.at[0, 1].set(-0.5).at[1, 0].set(-0.5)
+    p = p.replace(nu=nu, len_scale=ls, rho=rho)
+    p32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, p
+    )
+    proj = project_to_valid(p32, parsimony=True)
+    assert float(np.asarray(proj.rho[0, 1])) < -0.2
