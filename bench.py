@@ -184,6 +184,42 @@ def run_pipeline(c1, v1, c2, v2, pred_coords, main_coords, dtype):
     return params, out
 
 
+def nll_evals_per_sec(c1, v1, c2, v2, dtype, reps=3):
+    """Warm exact-NLL value+gradient throughput at the bench's n ~ 25k —
+    the second axis of the driver metric string (BASELINE.md). Fresh
+    parameter values per rep defeat the axon result cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov.params import MaternParams
+    from cokriging_tpu.estimate.nll import (
+        _nll_value_and_grad,
+        joint_distance_blocks,
+    )
+
+    _log("NLL evals/sec: distance blocks")
+    dists = joint_distance_blocks([c1, c2], geodesic=True)
+    z = jnp.concatenate([v1, v2])
+    params = MaternParams.default(2)
+    spec = params.spec
+    x0 = np.asarray(params.to_flat(), dtype)
+    x0[5:8] = 700.0  # len_scales well inside the data span
+    mvar = jnp.zeros_like(z)
+
+    _log("NLL evals/sec: compile + warmup")
+    v, g = _nll_value_and_grad(jnp.asarray(x0), dists, z, spec, mvar, 1e-6)
+    jax.block_until_ready((v, g))
+    ts = []
+    _log("NLL evals/sec: timed evals")
+    for i in range(reps):
+        x = jnp.asarray(x0 * (1.0 + 0.01 * (i + 1)))
+        t0 = time.perf_counter()
+        v, g = _nll_value_and_grad(x, dists, z, spec, mvar, 1e-6)
+        jax.block_until_ready((v, g))
+        ts.append(time.perf_counter() - t0)
+    return 1.0 / min(ts)
+
+
 def main():
     import jax
 
@@ -213,6 +249,10 @@ def main():
     params, out = run_pipeline(c1, v1b, c2, v2b, pred_coords, main_coords, dtype)
     elapsed = time.perf_counter() - t0
 
+    # second axis of the driver metric: exact-NLL value+grad throughput
+    # at the same n ~ 25k (one warm jitted eval; VERDICT r2 item 4)
+    evals_ps = nll_evals_per_sec(c1, v1b, c2, v2b, dtype)
+
     print(
         json.dumps(
             {
@@ -220,6 +260,7 @@ def main():
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(TARGET_SECONDS / elapsed, 3),
+                "nll_evals_per_sec": round(evals_ps, 4),
             }
         )
     )

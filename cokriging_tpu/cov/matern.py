@@ -435,6 +435,132 @@ def gathered_covariance(params: MaternParams, d, procs_a, procs_b=None):
     )
 
 
+def _use_pallas_pairs(nu_pairs, ls_pairs, h) -> bool:
+    """Trace-time gate for the gathered-pairs Pallas kernels: TPU backend,
+    f32 data AND parameters, enough entries to amortize the tile grid, and
+    few enough distinct pairs for the kernel's static select unroll."""
+    from cokriging_tpu.kernels.pallas_ops import MAX_PAIRS
+
+    return (
+        h.dtype == jnp.float32
+        and jnp.result_type(nu_pairs, ls_pairs) == jnp.float32
+        and h.size >= (1 << 17)
+        and nu_pairs.shape[0] <= MAX_PAIRS
+        and jax.default_backend() == "tpu"
+    )
+
+
+@jax.custom_vjp
+def _matern_corr_pairs_cvjp(nu_pairs, ls_pairs, idx_f, h):
+    from cokriging_tpu.kernels.pallas_ops import matern_corr_pairs_pallas
+
+    return matern_corr_pairs_pallas(nu_pairs, ls_pairs, idx_f, h)
+
+
+def _matern_corr_pairs_bwd(res, ct):
+    from cokriging_tpu.kernels.pallas_ops import matern_corr_pairs_grad_pallas
+
+    nu_pairs, ls_pairs, idx_f, h = res
+    g_nu, g_ls = matern_corr_pairs_grad_pallas(nu_pairs, ls_pairs, idx_f, h, ct)
+    return (
+        g_nu.astype(nu_pairs.dtype),
+        g_ls.astype(ls_pairs.dtype),
+        jnp.zeros_like(idx_f),
+        jnp.zeros_like(h),
+    )
+
+
+_matern_corr_pairs_cvjp.defvjp(
+    lambda nu_pairs, ls_pairs, idx_f, h: (
+        _matern_corr_pairs_cvjp(nu_pairs, ls_pairs, idx_f, h),
+        (nu_pairs, ls_pairs, idx_f, h),
+    ),
+    _matern_corr_pairs_bwd,
+)
+
+
+def matern_corr_pairs(nu_pairs, ls_pairs, idx_f, h):
+    """Matern correlation over gathered entries whose (nu, len_scale) take
+    one of ``n_pairs`` values, selected per entry by the float index plane
+    ``idx_f`` (0.0 .. n_pairs-1.0).
+
+    On the TPU f32 fast path this runs the fused Pallas pair kernels
+    (VMEM-resident Temme/CF2 with per-entry order; backward contracts the
+    cotangent to per-pair scalars in place — kernels/pallas_ops.py);
+    elsewhere it selects per-entry parameters and evaluates the plain
+    elementwise correlation under ordinary AD. Differentiable in
+    nu_pairs/ls_pairs; idx_f and h are data (zero cotangent).
+    """
+    nu_pairs = jnp.asarray(nu_pairs)
+    ls_pairs = jnp.asarray(ls_pairs)
+    h = jnp.asarray(h)
+    if _use_pallas_pairs(nu_pairs, ls_pairs, h):
+        return _matern_corr_pairs_cvjp(nu_pairs, ls_pairs, idx_f, h)
+    nu_e = nu_pairs[0]
+    ls_e = ls_pairs[0]
+    for k in range(1, nu_pairs.shape[0]):
+        in_k = idx_f == float(k)
+        nu_e = jnp.where(in_k, nu_pairs[k], nu_e)
+        ls_e = jnp.where(in_k, ls_pairs[k], ls_e)
+    return _matern_corr_raw(nu_e, ls_e, h)
+
+
+def windows_covariance(params: MaternParams, d, procs, mvar=None):
+    """Batched mixed-process covariance over symmetric gathered windows.
+
+    Same per-entry conventions as ``gathered_covariance`` (nugget on
+    exact-zero same-process distances, rho sigma_a sigma_b cross
+    amplitude; src/model.py:193-207), specialized to a BATCH of square
+    symmetric distance windows (..., w, w) — the Vecchia term layout
+    (estimate/vecchia.py). Only the lower triangle of each window is
+    evaluated (the windows are symmetric: d[a, i, j] == d[a, j, i]), and
+    the Matern correlations route through ``matern_corr_pairs`` — on TPU
+    f32 a fused Pallas kernel, ~1.91x less K_nu work than the full-window
+    gathered path on top of its VMEM-residency win.
+
+    Args:
+        params: MaternParams for p processes.
+        d: (..., w, w) symmetric per-window distance matrices.
+        procs: (..., w) int process ids of each window slot.
+        mvar: optional (..., w) per-slot measurement-error variances
+            added to window diagonals.
+
+    Returns:
+        (..., w, w) covariance windows.
+    """
+    d = jnp.asarray(d)
+    w = d.shape[-1]
+    p = params.n_procs
+    pair_list = [(i, j) for i in range(p) for j in range(i, p)]
+    table = np.zeros((p, p), np.int32)
+    for k, (i, j) in enumerate(pair_list):
+        table[i, j] = table[j, i] = k
+    pt = jnp.asarray(table)
+
+    pa = procs[..., :, None]
+    pb = procs[..., None, :]
+    same = pa == pb
+    idx = pt[pa, pb]
+
+    nu_pairs = jnp.stack([params.nu[i, j] for i, j in pair_list])
+    ls_pairs = jnp.stack([params.len_scale[i, j] for i, j in pair_list])
+
+    ti, tj = np.tril_indices(w)
+    d_t = d[..., ti, tj]
+    idx_t = idx[..., ti, tj].astype(d.dtype)
+    corr_t = matern_corr_pairs(nu_pairs, ls_pairs, idx_t, d_t)
+    low = jnp.zeros_like(d).at[..., ti, tj].set(corr_t)
+    eye = jnp.eye(w, dtype=d.dtype)
+    corr = low + jnp.swapaxes(low, -1, -2) - low * eye
+
+    sig = params.sigma
+    amp = jnp.where(same, sig[pa] ** 2, params.rho[pa, pb] * sig[pa] * sig[pb])
+    cov = amp * corr + jnp.where(same & (d == 0.0), params.nugget[pa], 0.0)
+    if mvar is not None:
+        cov = cov + mvar[..., None] * eye
+    return cov
+
+
 def joint_covariance_from_coords(
     params: MaternParams, coords_tuple, geodesic, use_pallas: bool = False
 ):

@@ -211,6 +211,21 @@ class Field:
         c1, c2 = ("lat", "lon") if self.geodesic else ("x", "y")
         return pd.DataFrame({c1: coords[:, 0], c2: coords[:, 1], self.name: values})
 
+    def astype(self, dtype) -> "Field":
+        """Cast the array members to ``dtype`` — the TPU f32 fast path
+        (utils.config.compute_dtype is the framework-wide policy)."""
+        from dataclasses import replace
+
+        mv = self.measurement_var
+        return replace(
+            self,
+            coords=self.coords.astype(dtype),
+            values=self.values.astype(dtype),
+            coords_main=self.coords_main.astype(dtype),
+            values_main=self.values_main.astype(dtype),
+            measurement_var=None if mv is None else mv.astype(dtype),
+        )
+
 
 def _coord_isin(coords: np.ndarray, main: np.ndarray) -> np.ndarray:
     """Boolean row-membership of coords in main (exact match on both cols,
@@ -258,6 +273,14 @@ class MultiField:
     @property
     def geodesic(self) -> bool:
         return self.fields[0].geodesic
+
+    def astype(self, dtype) -> "MultiField":
+        """Cast every field's arrays to ``dtype`` (see Field.astype)."""
+        return MultiField(
+            fields=[f.astype(dtype) for f in self.fields],
+            timestamp=self.timestamp,
+            timedeltas=self.timedeltas,
+        )
 
 
 def apply_timedelta(timestamp: str, months: int) -> str:

@@ -493,6 +493,264 @@ def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct, symmetric=False):
     return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
 
 
+# ---------------------------------------------------------------------------
+# Gathered-pairs Matern kernels (Vecchia term windows, direct local assembly)
+# ---------------------------------------------------------------------------
+#
+# The Vecchia NLL evaluates M over n x (m+1)^2 gathered windows whose
+# per-entry (nu, len_scale) take only n_pairs = p(p+1)/2 distinct values
+# (the process-pair structure). Rather than gathering matrix-sized nu/ls
+# tensors, these kernels read a small per-pair SMEM table of precomputed
+# scalar constants and SELECT per entry by a float pair-index plane — the
+# Temme/CF2 recurrences then run once per entry with elementwise order,
+# every loop carry VMEM-resident (the XLA path carries ~11 such arrays
+# through HBM per iteration; measured 32 s for one warm value+grad at 80k
+# terms, m=20 — VERDICT r2 item 1). The backward contracts the cotangent
+# in place to per-PAIR scalars, so no matrix-sized gradient ever exists.
+
+PM = 128  # pairs-kernel forward tile rows (per-entry order params make
+PN = 512  # ~9 extra tile-sized live buffers vs the scalar kernel; 256-row
+#           tiles measured 18 MB scoped VMEM against the 16 MB limit)
+PGM = 128  # backward tile rows (5 sequential K evals -> smaller tiles)
+PGN = 256
+MAX_PAIRS = 10  # static select unroll bound (p <= 4)
+
+
+def _sel_pairs(params_ref, idx, col, n_pairs):
+    """Per-entry select of column ``col`` of the (n_pairs, ...) SMEM table
+    by the float pair-index plane ``idx`` (exact small-int compares)."""
+    v = jnp.full_like(idx, params_ref[0, col])
+    for k in range(1, n_pairs):
+        v = jnp.where(idx == float(k), params_ref[k, col], v)
+    return v
+
+
+def _make_pairs_kernel(n_pairs):
+    def kernel(params_ref, idx_ref, h_ref, out_ref):
+        idx = idx_ref[:]
+        p = tuple(_sel_pairs(params_ref, idx, c, n_pairs) for c in range(9))
+        out_ref[:] = _matern_tile(p, h_ref[:])
+
+    return kernel
+
+
+def _pairs_call(params, idx, h, n_pairs):
+    with jax.enable_x64(False):
+        return _pairs_call_32(params, idx, h, n_pairs)
+
+
+@partial(jax.jit, static_argnames=("n_pairs",))
+def _pairs_call_32(params, idx, h, n_pairs):
+    n, m = h.shape
+    grid = (n // PM, m // PN)
+    return pl.pallas_call(
+        _make_pairs_kernel(n_pairs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_pairs, 9)
+            pl.BlockSpec((PM, PN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PM, PN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (PM, PN), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(h.shape, h.dtype),
+    )(params, idx, h)
+
+
+def _pairs_table_fwd(nu_pairs, ls_pairs):
+    """(n_pairs, 9) forward constant table: [nu, ls, mu, nl, gam1, gam2,
+    inv_gp, inv_gm, lgamma_nu] per pair — the same scalars
+    matern_correlation_pallas precomputes, vectorized over pairs."""
+    from cokriging_tpu.kernels.bessel import _gam12, lgamma_precise
+
+    nu = jnp.abs(jnp.asarray(nu_pairs, jnp.float32))
+    ls = jnp.asarray(ls_pairs, jnp.float32)
+    nl = jnp.floor(nu + 0.5)
+    mu = nu - nl
+    gam1, gam2, inv_gp, inv_gm = _gam12(mu)
+    return jnp.stack(
+        [nu, ls, mu, nl, gam1, gam2, inv_gp, inv_gm, lgamma_precise(nu)],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _pad_rows(x, width, tile_rows, fill):
+    """Flatten x, reshape to (rows, width), pad rows to a tile multiple."""
+    n = x.size
+    rows = -(-n // width)
+    rows_p = -(-rows // tile_rows) * tile_rows
+    flat = jnp.ravel(x)
+    pad = rows_p * width - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, fill, x.dtype)])
+    return flat.reshape(rows_p, width)
+
+
+def matern_corr_pairs_pallas(nu_pairs, ls_pairs, idx_f, h):
+    """Fused Matern correlation over gathered entries with per-pair
+    parameters selected by the float index plane ``idx_f`` (values
+    0..n_pairs-1). Forward only; f32 / TPU. Any input shape (flattened
+    internally)."""
+    h = jnp.asarray(h)
+    shape = h.shape
+    n_pairs = nu_pairs.shape[0]
+    params = _pairs_table_fwd(nu_pairs, ls_pairs)
+    h2 = _pad_rows(h, PN, PM, 1.0)
+    i2 = _pad_rows(jnp.asarray(idx_f, h.dtype), PN, PM, 0.0)
+    out = _pairs_call(params, i2, h2, n_pairs)
+    return jnp.ravel(out)[: h.size].reshape(shape)
+
+
+def _make_pairs_grad_kernel(n_pairs):
+    """Backward: per-entry dM/dnu, dM/dls contracted against the cotangent
+    and accumulated into per-pair sums. Derivative formulas mirror
+    kernels/bessel.py's custom JVP exactly (analytic dK/dx via
+    K_{nu-1}/K_{nu+1}, central-FD dK/dnu with pinned nl).
+
+    SMEM table columns per pair:
+      0 nu | 1 ls | 2 lgamma | 3 digamma | 4 fd
+      5+o       mu of order o          (o = 0..4)
+      10+o      nl of order o
+      15+4o..   (gam1, gam2, inv_gp, inv_gm) of order o
+    """
+
+    def kernel(params_ref, idx_ref, h_ref, ct_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        idx = idx_ref[:]
+        h = h_ref[:]
+        ct = ct_ref[:]
+
+        def sel(c):
+            return _sel_pairs(params_ref, idx, c, n_pairs)
+
+        nu, ls, lgam, digam, fd = sel(0), sel(1), sel(2), sel(3), sel(4)
+
+        pos = h > 0.0
+        hs = jnp.where(pos, h, 1.0) / ls
+        a = jnp.sqrt(2.0 * nu) * hs
+
+        ks = [
+            _kv_tile(
+                sel(5 + o), sel(10 + o),
+                (sel(15 + 4 * o), sel(16 + 4 * o),
+                 sel(17 + 4 * o), sel(18 + 4 * o)),
+                a,
+            )
+            for o in range(5)
+        ]
+
+        from cokriging_tpu.kernels import bessel as B
+
+        log_a = B.log_precise(a)
+        lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
+        elp = jnp.exp(lp)
+        m = elp * ks[0]
+        finite = jnp.isfinite(m)
+        ok = finite & (m > 0.0) & pos
+
+        dk_dx = -0.5 * (ks[1] + ks[2])
+        dk_dnu = (ks[3] - ks[4]) / (2.0 * fd)
+        da_dnu = a / (2.0 * nu)
+        da_dls = -a / ls
+        dlp_dnu = -_LN2 - digam + log_a + 0.5
+        dm_dnu = m * dlp_dnu + elp * (dk_dnu + dk_dx * da_dnu)
+        dm_dls = m * (-nu / ls) + elp * dk_dx * da_dls
+
+        zero = jnp.zeros_like(ct)
+        gnu_e = jnp.where(ok & jnp.isfinite(dm_dnu), ct * dm_dnu, zero)
+        gls_e = jnp.where(ok & jnp.isfinite(dm_dls), ct * dm_dls, zero)
+
+        rows = []
+        for k in range(n_pairs):
+            in_pair = idx == float(k)
+            rows.append(
+                jnp.stack(
+                    [
+                        jnp.sum(jnp.where(in_pair, gnu_e, zero)),
+                        jnp.sum(jnp.where(in_pair, gls_e, zero)),
+                    ]
+                )
+            )
+        # whole-block accumulate: Mosaic cannot store scalars to VMEM
+        out_ref[:] += jnp.stack(rows)
+
+    return kernel
+
+
+def _pairs_grad_call(params, idx, h, ct, n_pairs):
+    with jax.enable_x64(False):
+        return _pairs_grad_call_32(params, idx, h, ct, n_pairs)
+
+
+@partial(jax.jit, static_argnames=("n_pairs",))
+def _pairs_grad_call_32(params, idx, h, ct, n_pairs):
+    n, m = h.shape
+    grid = (n // PGM, m // PGN)
+    return pl.pallas_call(
+        _make_pairs_grad_kernel(n_pairs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (n_pairs, 35)
+            pl.BlockSpec((PGM, PGN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PGM, PGN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PGM, PGN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_pairs, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pairs, 2), h.dtype),
+    )(params, idx, h, ct)
+
+
+def _pairs_table_bwd(nu_pairs, ls_pairs):
+    """(n_pairs, 35) backward constant table (see _make_pairs_grad_kernel
+    for the column layout) — matern_block_grad_pallas's per-order
+    decompositions, vectorized over pairs."""
+    from cokriging_tpu.kernels import bessel as B
+
+    dt = jnp.float32
+    nu = jnp.abs(jnp.asarray(nu_pairs, dt))
+    ls = jnp.asarray(ls_pairs, dt)
+    fd = jnp.full_like(nu, B._FD_H[jnp.dtype(dt)])
+    nl0 = jnp.floor(nu + 0.5)
+    mu0 = nu - nl0
+    mus, nls = [], []
+    for o in (nu, jnp.abs(nu - 1.0), nu + 1.0):
+        nl = jnp.floor(o + 0.5)
+        nls.append(nl)
+        mus.append(o - nl)
+    mus += [mu0 + fd, mu0 - fd]
+    nls += [nl0, nl0]
+    cols = [nu, ls, B.lgamma_precise(nu), jax.lax.digamma(nu), fd]
+    cols += mus
+    cols += nls
+    for mu in mus:
+        cols.extend(B._gam12(mu))
+    return jnp.stack(cols, axis=1).astype(dt)
+
+
+def matern_corr_pairs_grad_pallas(nu_pairs, ls_pairs, idx_f, h, ct):
+    """Fused backward of matern_corr_pairs_pallas: returns
+    (g_nu_pairs, g_ls_pairs), each (n_pairs,) — the cotangent sums
+    sum_e ct_e dM/dnu_e over entries of each pair. The h cotangent is
+    identically zero (distances are data). f32 / TPU only."""
+    h = jnp.asarray(h)
+    n_pairs = nu_pairs.shape[0]
+    params = _pairs_table_bwd(nu_pairs, ls_pairs)
+    h2 = _pad_rows(h, PGN, PGM, 1.0)
+    i2 = _pad_rows(jnp.asarray(idx_f, h.dtype), PGN, PGM, 0.0)
+    c2 = _pad_rows(jnp.asarray(ct, h.dtype), PGN, PGM, 0.0)
+    out = _pairs_grad_call(params, i2, h2, c2, n_pairs)
+    return out[:, 0], out[:, 1]
+
+
 def matern_correlation_pallas(nu, len_scale, h, symmetric=False):
     """Fused VMEM-resident Matern correlation over a distance matrix.
 

@@ -56,3 +56,21 @@ SOLVE_DTYPE = jnp.float64
 
 #: Earth radius in kilometers (reference: src/fields.py:17).
 EARTH_RADIUS_KM = 6371.0
+
+
+def compute_dtype(backend: str = None):
+    """THE framework-wide backend dtype policy (single source of truth).
+
+    f32 on TPU, f64 elsewhere. TPU f64 is emulated with f32 exponent
+    range: ~50x slower, and at large n the emulated programs have been
+    observed to fault the TPU runtime outright (DESIGN.md §6). Every
+    workflow script and fit driver that adapts to the ambient backend
+    should take its dtype from here; f32-vs-f64 fit parity at bench scale
+    is measured by tools/f32_parity.py. Override per process with
+    ``COKRIGING_DTYPE=float32|float64``.
+    """
+    env = os.environ.get("COKRIGING_DTYPE")
+    if env:
+        return {"float32": jnp.float32, "float64": jnp.float64}[env]
+    b = backend or jax.default_backend()
+    return jnp.float32 if b == "tpu" else jnp.float64

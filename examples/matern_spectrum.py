@@ -151,12 +151,13 @@ def main():
 
 
 if __name__ == "__main__":
-    # Workflow scripts run on the CPU backend: true IEEE f64 (the TPU
-    # emulates f64) and no per-shape remote-compile latency at these tiny
-    # problem sizes. Must be set before first JAX device use (the ambient
-    # environment pre-selects the TPU platform via jax.config, so the env
-    # var alone is not enough).
-    import jax
+    # Runs on the ambient backend (TPU: f32 via utils.config.compute_dtype;
+    # CPU: f64). COKRIGING_FORCE_CPU=1 pins the CPU backend for a true-f64
+    # run. Must be decided before first JAX device use.
+    import os
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("COKRIGING_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()

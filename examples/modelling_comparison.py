@@ -120,6 +120,10 @@ def run_comparison(
     from cokriging_tpu.estimate.wls import fit_wls, moment_init
     from cokriging_tpu.fields import MultiField, apply_timedelta
     from cokriging_tpu.predict import LocalPredictor
+    from cokriging_tpu.utils.config import compute_dtype
+
+    # backend dtype policy: f32 on TPU (f64 is emulated there), f64 on CPU
+    dtype = compute_dtype()
 
     if df_xco2 is None or df_sif is None:
         df_xco2, df_sif = synthesize_conus_months(
@@ -138,7 +142,7 @@ def run_comparison(
     mf_uni = MultiField.from_dataframes(
         [df_sif], ["sif"], [["evi"]], timestamp=month_sif, timedeltas=[0],
         main_coords=main,
-    )
+    ).astype(dtype)
     est_uni = empirical_variograms(
         mf_uni, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=1)
     )
@@ -146,7 +150,8 @@ def run_comparison(
         est_uni, init=moment_init(est_uni), method="adam", maxiter=maxiter
     )
     krig = LocalPredictor(
-        MultivariateMatern(1, params_uni), mf_uni, covariates=cov_pred
+        MultivariateMatern(1, params_uni.astype(dtype)), mf_uni,
+        covariates=cov_pred,
     )
     df_krig = krig(0, pcoords, max_dist=max_dist)
     cv_krig = krig.cross_validation(0, max_dist=max_dist)
@@ -159,7 +164,7 @@ def run_comparison(
         timestamp=timestamp,
         timedeltas=[0, -1],
         main_coords=main,
-    )
+    ).astype(dtype)
     est_biv = empirical_variograms(
         mf_biv, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=2)
     )
@@ -167,7 +172,8 @@ def run_comparison(
         est_biv, init=moment_init(est_biv), method="adam", maxiter=maxiter
     )
     cokrig = LocalPredictor(
-        MultivariateMatern(2, params_biv), mf_biv, covariates=cov_pred
+        MultivariateMatern(2, params_biv.astype(dtype)), mf_biv,
+        covariates=cov_pred,
     )
     df_cokrig = cokrig(1, pcoords, max_dist=max_dist)
     cv_cokrig = cokrig.cross_validation(1, max_dist=max_dist)
@@ -263,10 +269,13 @@ def main():
 
 
 if __name__ == "__main__":
-    # Workflow scripts run on the CPU backend: true IEEE f64 (the TPU
-    # emulates f64) and no per-shape remote-compile latency at these tiny
-    # problem sizes. Must be set before first JAX device use.
-    import jax
+    # Runs on the ambient backend (TPU: f32 via utils.config.compute_dtype;
+    # CPU: f64). COKRIGING_FORCE_CPU=1 pins the CPU backend for a true-f64
+    # run. Must be decided before first JAX device use.
+    import os
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("COKRIGING_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()

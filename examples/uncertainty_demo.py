@@ -145,11 +145,13 @@ def main():
 
 
 if __name__ == "__main__":
-    # Tiny-problem workflow (small sim grids, hundreds of distinct small
-    # shapes across the bootstrap/Hessian stages): the CPU backend gives
-    # true IEEE f64 and avoids per-shape remote-compile latency on the
-    # TPU tunnel, same as the other research-parity scripts.
-    import jax
+    # Runs on the ambient backend (TPU: f32 via utils.config.compute_dtype;
+    # CPU: f64). COKRIGING_FORCE_CPU=1 pins the CPU backend for a true-f64
+    # run. Must be decided before first JAX device use.
+    import os
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("COKRIGING_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()

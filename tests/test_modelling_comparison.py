@@ -32,9 +32,10 @@ def test_cokriging_beats_kriging_on_conus_path():
     assert float((ratio < 1.0).mean()) > 0.8
     assert float(ratio.median()) < 0.95
 
-    # LOOCV: bivariate MSPE does not degrade the univariate fit
+    # LOOCV: cokriging strictly beats kriging on this rho = -0.6 path
+    # (measured margin ~16%: 0.0375 vs 0.0447)
     mspe = dict(zip(out["scores"]["method"], out["scores"]["MSPE"]))
-    assert mspe["cokriging"] <= mspe["kriging"] * 1.05
+    assert mspe["cokriging"] <= mspe["kriging"]
 
     # postprocessed predictions land on the data scale (SIF ~ 0.6-1.4,
     # not the standardized N(0,1) scale)

@@ -211,3 +211,107 @@ def test_matern_block_grad_pallas_symmetric(rng, monkeypatch):
 
     with pytest.raises(ValueError):
         P.matern_block_grad_pallas(*args, h[:, :20], ct[:, :20], symmetric=True)
+
+
+def test_matern_corr_pairs_pallas_matches_jnp(rng, monkeypatch):
+    """Gathered-pairs forward kernel (per-entry pair-index selects of
+    per-pair SMEM constants) vs per-entry selection + the jnp correlation,
+    in interpret mode with shrunken tiles (ragged size -> padding)."""
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov.matern import matern_correlation
+
+    monkeypatch.setattr(P, "PM", 8)
+    monkeypatch.setattr(P, "PN", 128)
+    nu_pairs = jnp.asarray([0.7, 1.5, 3.1], jnp.float32)
+    ls_pairs = jnp.asarray([250.0, 500.0, 900.0], jnp.float32)
+    h = np.abs(rng.normal(size=(7, 41, 41))).astype(np.float32) * 800.0
+    h[:, 0, 0] = 0.0
+    idx = rng.integers(0, 3, size=h.shape).astype(np.float32)
+
+    ref = np.zeros_like(h)
+    for k in range(3):
+        mk = np.asarray(
+            matern_correlation(float(nu_pairs[k]), float(ls_pairs[k]),
+                               jnp.asarray(h))
+        )
+        ref = np.where(idx == k, mk, ref)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            P.matern_corr_pairs_pallas(
+                nu_pairs, ls_pairs, jnp.asarray(idx), jnp.asarray(h)
+            )
+        )
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_matern_corr_pairs_grad_pallas_matches_ad(rng, monkeypatch):
+    """Gathered-pairs backward kernel (in-place per-pair cotangent sums)
+    vs plain AD through the per-entry-select + raw-correlation fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    import cokriging_tpu.cov.matern as M
+
+    monkeypatch.setattr(P, "PGM", 8)
+    monkeypatch.setattr(P, "PGN", 128)
+    h = np.abs(rng.normal(size=(1800,))).astype(np.float32) * 600.0
+    h[0] = 0.0
+    idx = rng.integers(0, 3, size=h.shape).astype(np.float32)
+    ct = rng.normal(size=h.shape).astype(np.float32)
+    h_j, idx_j, ct_j = jnp.asarray(h), jnp.asarray(idx), jnp.asarray(ct)
+
+    nu0 = jnp.asarray([0.45, 1.5, 2.8], jnp.float32)
+    ls0 = jnp.asarray([250.0, 500.0, 900.0], jnp.float32)
+
+    def loss(nu_p, ls_p):
+        nu_e, ls_e = nu_p[0], ls_p[0]
+        for k in range(1, 3):
+            in_k = idx_j == float(k)
+            nu_e = jnp.where(in_k, nu_p[k], nu_e)
+            ls_e = jnp.where(in_k, ls_p[k], ls_e)
+        return jnp.sum(ct_j * M._matern_corr_raw(nu_e, ls_e, h_j))
+
+    want_nu, want_ls = jax.grad(loss, argnums=(0, 1))(nu0, ls0)
+    with pltpu.force_tpu_interpret_mode():
+        got_nu, got_ls = P.matern_corr_pairs_grad_pallas(
+            nu0, ls0, idx_j, h_j, ct_j
+        )
+    # nu: both paths use an f32 central difference for dK/dnu whose noise
+    # band is ~7e-3 of the true value (see the block-grad test's bound)
+    np.testing.assert_allclose(
+        np.asarray(got_nu), np.asarray(want_nu), rtol=2e-2, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_ls), np.asarray(want_ls), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_windows_covariance_matches_gathered(rng):
+    """Batched tril-mirrored windows_covariance == per-window
+    gathered_covariance (the Vecchia _chunk_nll restructure is value-
+    preserving on the XLA fallback path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams
+    from cokriging_tpu.cov.matern import gathered_covariance, windows_covariance
+
+    flat = np.array([1.2, 0.8, 1.5, 1.1, 2.0, 0.3, 0.25, 0.35, 0.04, 0.02, -0.5])
+    params = MaternParams.from_flat(jnp.asarray(flat))
+    C, w = 9, 13
+    coords = rng.uniform(0, 1500, size=(C, w, 2))
+    procs = jnp.asarray(rng.integers(0, 2, size=(C, w)), jnp.int32)
+    mvar = jnp.asarray(rng.uniform(0, 0.05, size=(C, w)))
+    from cokriging_tpu.kernels.distance import euclidean_matrix
+
+    d = jax.vmap(lambda c: euclidean_matrix(c, c))(jnp.asarray(coords))
+
+    got = np.asarray(windows_covariance(params, d, procs, mvar))
+    for a in range(C):
+        want = np.asarray(
+            gathered_covariance(params, d[a], procs[a])
+        ) + np.diag(np.asarray(mvar[a]))
+        np.testing.assert_allclose(got[a], want, rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(got[a], got[a].T, atol=1e-12)
