@@ -202,6 +202,42 @@ def _predict_chunk_core(
     return pred, jnp.sqrt(jnp.maximum(var, 0.0)), iters, resid
 
 
+@partial(jax.jit, static_argnames=("geodesic", "block", "mesh"))
+def _loocv_chunk_core(
+    params, coords, procs, mask, z, rows, tol, maxiter,
+    *, geodesic, block, mesh,
+):
+    """LOOCV for one chunk of data rows via unit-vector precision columns.
+
+    Solves X = C^-1 E_rows (one multi-RHS CG); by symmetry of C^-1,
+    column j of X is row ``rows[j]`` of the precision matrix, so
+
+        pkk_j = X[rows_j, j],   (C^-1 z)_{rows_j} = X[:, j]^T z,
+
+    which feed the standard LOOCV identity (predict/joint.py:_loocv_core,
+    src/joint_prediction.py:207-257 semantics):
+
+        pred_j = z_j - (C^-1 z)_j / pkk_j,   var_j = 1 / pkk_j.
+
+    Cost per chunk equals one error-bearing prediction chunk of
+    ``__call__`` (same multi-RHS CG through the same matvec), so LOOCV at
+    every main-grid point costs what predicting that many points costs —
+    vs the reference's O(n) full refactorizations.
+    """
+    q = rows.shape[0]
+    e = jnp.zeros((mask.shape[0], q), z.dtype).at[rows, jnp.arange(q)].set(1.0)
+    matvec = _matvec_fn(geodesic, block, mesh)
+    diag = params.sigma[procs] ** 2 + params.nugget[procs]
+    X, iters, resid = _pcg(
+        lambda v: matvec(params, coords, procs, mask, v), e, diag, tol, maxiter
+    )
+    pkk = X[rows, jnp.arange(q)]
+    cz = X.T @ (z * mask)
+    pred = z[rows] - cz / pkk
+    var = 1.0 / pkk
+    return pred, jnp.sqrt(jnp.maximum(var, 0.0)), iters, resid
+
+
 class IterativeJointPredictor:
     """Exact joint cokriging without materializing the joint covariance.
 
@@ -345,3 +381,52 @@ class IterativeJointPredictor:
         if postprocess:
             return postprocess_predictions(df, self.mf.fields[i], self.covariates)
         return df
+
+    def cross_validation(
+        self, i: int, postprocess: bool = True
+    ) -> pd.DataFrame:
+        """Matrix-free LOOCV at every data location of process i — the
+        capability the dense ``JointPredictor.cross_validation`` provides
+        but cannot scale (its precision identity materializes C^-1). Exact
+        to CG tolerance: chunks of unit-vector solves recover the needed
+        precision rows through the same matrix-free matvec (see
+        _loocv_chunk_core); results match the dense fast identity to
+        solver tolerance (tests/test_iterative.py)."""
+        params = self.mod.params
+        coords, procs, z, mask, n = self._stacked()
+        geo = self.mf.geodesic
+        sizes = [int(f.coords_main.shape[0]) for f in self.mf.fields]
+        offset = sum(sizes[:i])
+        ni = sizes[i]
+        statics = dict(geodesic=geo, block=self.block, mesh=self.mesh)
+
+        q = self.rhs_batch
+        preds, errs, diags = [], [], []
+        for lo in range(0, ni, q):
+            rows = np.arange(lo, min(lo + q, ni), dtype=np.int32) + offset
+            npad = q - rows.shape[0]
+            if npad:  # duplicate columns solve the same system; discarded
+                rows = np.concatenate([rows, np.repeat(rows[-1:], npad)])
+            pred_c, err_c, it_c, res_c = _loocv_chunk_core(
+                params, coords, procs, mask, z, jnp.asarray(rows),
+                self.tol, self.maxiter, **statics,
+            )
+            diags.append((int(it_c), float(res_c)))
+            keep = q - npad
+            preds.append(np.asarray(pred_c)[:keep])
+            errs.append(np.asarray(err_c)[:keep])
+        self.last_diagnostics = diags
+        worst = max(r for _, r in diags)
+        if worst > 10.0 * self.tol:
+            warnings.warn(
+                f"iterative LOOCV solves did not converge (relative residual "
+                f"{worst:.2e} > tol {self.tol:.0e} after maxiter="
+                f"{self.maxiter}); results are approximate."
+            )
+
+        from cokriging_tpu.predict.postprocess import loocv_frame
+
+        return loocv_frame(
+            self.mf.fields[i], geo, np.concatenate(preds),
+            np.concatenate(errs), postprocess,
+        )

@@ -356,35 +356,6 @@ class JointPredictor:
                 errs.append(df_k["pred_err"].iloc[0])
             pred, pred_err = np.array(preds), np.array(errs)
 
-        c1, c2 = ("lat", "lon") if geo else ("d1", "d2")
-        df = pd.DataFrame(
-            {
-                c1: data_coords[:, 0],
-                c2: data_coords[:, 1],
-                "data": data_values,
-                "pred": pred,
-                "pred_err": pred_err,
-            }
-        )
-        if postprocess:
-            field = self.mf.fields[i]
-            trend = field.trend
-            if trend is not None:
-                # Back-transform BOTH data and predictions so residuals are
-                # in data units. (The reference leaves the data column
-                # standardized while postprocessing predictions — a scale
-                # mix we deliberately do not reproduce.) At data locations
-                # the OLS surface is the stored fitted values.
-                from cokriging_tpu.predict.postprocess import inverse_transform_data
+        from cokriging_tpu.predict.postprocess import loocv_frame
 
-                surf = np.asarray(field.spatial_trend_main)
-                df["pred"] = (
-                    df["pred"] * trend.scale_fact
-                    + trend.spatial_mean
-                    + surf
-                    + trend.temporal_trend
-                )
-                df["pred_err"] = df["pred_err"] * trend.scale_fact
-                df["data"] = inverse_transform_data(field)
-        df["residual"] = df["data"] - df["pred"]
-        return df[[c1, c2, "data", "pred", "residual", "pred_err"]]
+        return loocv_frame(self.mf.fields[i], geo, pred, pred_err, postprocess)

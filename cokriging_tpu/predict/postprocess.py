@@ -65,6 +65,43 @@ def postprocess_predictions(
     return out
 
 
+def loocv_frame(
+    field, geodesic, pred, pred_err, postprocess: bool = True
+) -> pd.DataFrame:
+    """Assemble the LOOCV result frame at a field's main-grid locations,
+    back-transforming BOTH data and predictions to data units when
+    ``postprocess`` (the reference leaves the data column standardized
+    while postprocessing predictions, src/joint_prediction.py:207-257 — a
+    scale mix we deliberately do not reproduce). Shared by the dense and
+    matrix-free joint LOOCV paths."""
+    data_coords = np.asarray(field.coords_main)
+    data_values = np.asarray(field.values_main)
+    c1, c2 = ("lat", "lon") if geodesic else ("d1", "d2")
+    df = pd.DataFrame(
+        {
+            c1: data_coords[:, 0],
+            c2: data_coords[:, 1],
+            "data": data_values,
+            "pred": np.asarray(pred),
+            "pred_err": np.asarray(pred_err),
+        }
+    )
+    if postprocess:
+        trend = field.trend
+        if trend is not None:
+            surf = np.asarray(field.spatial_trend_main)
+            df["pred"] = (
+                df["pred"] * trend.scale_fact
+                + trend.spatial_mean
+                + surf
+                + trend.temporal_trend
+            )
+            df["pred_err"] = df["pred_err"] * trend.scale_fact
+            df["data"] = inverse_transform_data(field)
+    df["residual"] = df["data"] - df["pred"]
+    return df[[c1, c2, "data", "pred", "residual", "pred_err"]]
+
+
 def inverse_transform_data(field) -> np.ndarray:
     """Map a field's standardized main-grid values back to data scale —
     used so LOOCV residuals compare like with like (the reference leaves

@@ -160,3 +160,39 @@ def test_nonconvergence_warns(setup):
     )
     with pytest.warns(UserWarning, match="did not converge"):
         ijp(0, pcoords, postprocess=False)
+
+
+@pytest.mark.parametrize("i", [0, 1])
+def test_iterative_loocv_matches_dense_identity(setup, i):
+    """Matrix-free LOOCV (blocked unit-vector precision columns) == the
+    dense precision-identity LOOCV to CG tolerance; rhs_batch=16 over 60
+    (or 71) rows exercises the padded final chunk, and postprocess=False
+    keeps both on the standardized scale."""
+    mod, mf, _ = setup
+    want = JointPredictor(mod, mf).cross_validation(i, postprocess=False)
+    ijp = IterativeJointPredictor(
+        mod, mf, block=32, rhs_batch=16, tol=1e-10, maxiter=500
+    )
+    got = ijp.cross_validation(i, postprocess=False)
+    np.testing.assert_allclose(got["pred"], want["pred"], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        got["pred_err"], want["pred_err"], rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        got["residual"], want["residual"], rtol=1e-6, atol=1e-8
+    )
+    iters = [k for k, _ in ijp.last_diagnostics]
+    assert max(iters) < 500
+
+
+def test_iterative_loocv_postprocess_matches_dense(setup):
+    """Postprocessed frames agree too (shared loocv_frame back-transform)."""
+    mod, mf, _ = setup
+    want = JointPredictor(mod, mf).cross_validation(0, postprocess=True)
+    got = IterativeJointPredictor(
+        mod, mf, block=32, rhs_batch=32, tol=1e-10, maxiter=500
+    ).cross_validation(0, postprocess=True)
+    for col in ("data", "pred", "residual", "pred_err"):
+        np.testing.assert_allclose(
+            got[col], want[col], rtol=1e-6, atol=1e-8
+        )
