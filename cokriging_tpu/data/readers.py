@@ -123,14 +123,29 @@ def read_transcom_binary(path: str) -> pd.DataFrame:
     return read_transcom(df)
 
 
-def open_mf(paths: Sequence[str], prep_fn) -> pd.DataFrame:
+def open_mf(paths: Sequence[str], prep_fn, workers: int = 8) -> pd.DataFrame:
     """Multi-granule ingest: apply a reader across files and concatenate
-    (the reference's open_mfdataset+preprocess pattern,
-    scripts/process_lite_files.ipynb). Supports .nc/.h5 via h5py."""
+    (the reference's ``open_mfdataset(parallel=True)`` + preprocess
+    pattern, scripts/process_lite_files.ipynb cell 2). Supports .nc/.h5
+    via h5py.
+
+    Granules load CONCURRENTLY on a thread pool (h5py releases the GIL
+    during I/O/decompression) — the archive-scale ingest the reference
+    delegates to dask; ``workers=1`` restores the serial loop. Frame
+    order matches the input path order either way.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     import h5py
 
-    frames = []
-    for p in paths:
+    def load(p):
         with h5py.File(p, "r") as f:
-            frames.append(prep_fn(f))
+            return prep_fn(f)
+
+    paths = list(paths)
+    if workers <= 1 or len(paths) <= 1:
+        frames = [load(p) for p in paths]
+    else:
+        with ThreadPoolExecutor(max_workers=min(workers, len(paths))) as ex:
+            frames = list(ex.map(load, paths))
     return pd.concat(frames, ignore_index=True)

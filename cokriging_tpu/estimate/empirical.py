@@ -270,13 +270,20 @@ def _all_pairs_program(
     Returns:
         (centers, sums, counts), each (n_pairs, n_bins).
     """
-    from cokriging_tpu.kernels.distance import ZERO_SNAP
+    from cokriging_tpu.kernels.distance import ZERO_SNAP, ZERO_SNAP_F32_KM
 
     n_pad = coords.shape[1]
     nb = n_pad // block
     lane = jnp.arange(n_pad)
+    # dtype-aware snap, mirroring haversine_matrix's default (f32 jit
+    # fusion noise reaches ~1e-3 km on the geodesic path)
+    snap = (
+        ZERO_SNAP_F32_KM
+        if (geodesic and coords.dtype == jnp.float32)
+        else ZERO_SNAP
+    )
     h_max = _h_of_d(jnp.asarray(max_dist, coords.dtype), geodesic)
-    h_snap = _h_of_d(jnp.asarray(ZERO_SNAP, coords.dtype), geodesic)
+    h_snap = _h_of_d(jnp.asarray(snap, coords.dtype), geodesic)
     feats = [_point_features(coords[k], geodesic) for k in range(coords.shape[0])]
 
     def block_ids(t):
@@ -334,8 +341,8 @@ def _all_pairs_program(
         dmin = _d_of_h(hmin, geodesic)
         dmax = _d_of_h(hmax, geodesic)
         # snap to exact 0 below the tolerance, as haversine_matrix does
-        dmin = jnp.where(dmin > ZERO_SNAP, dmin, 0.0)
-        dmax = jnp.where(dmax > ZERO_SNAP, dmax, 0.0)
+        dmin = jnp.where(dmin > snap, dmin, 0.0)
+        dmax = jnp.where(dmax > snap, dmax, 0.0)
         # No pairs within max_dist leaves hmin/hmax at +-inf. The geodesic
         # _d_of_h clips them to finite [0, pi R], which would silently pass
         # the host-side finiteness guard and hand the fit decreasing bin

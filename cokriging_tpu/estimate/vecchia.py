@@ -436,6 +436,25 @@ def _windows_nll_sum(flat, windows, spec, geodesic, chunk):
     return total
 
 
+@partial(jax.jit, static_argnames=("spec", "geodesic", "chunk"))
+def vecchia_nll_value_and_grad(flat, windows, spec, geodesic=True, chunk=4096):
+    """Jitted (value, grad) of the Vecchia NLL with windows as ARGUMENTS.
+
+    Closing a jitted objective over a VecchiaLikelihood's window tensors
+    embeds them as HLO constants — at N = 1M that is ~570 MB of program
+    payload, which the remote TPU compile service rejects outright
+    (HTTP 413). Passing them as arguments keeps the program small and
+    shape-cached across datasets of the same size.
+    """
+
+    def obj(x):
+        n = windows[0].shape[0]
+        total = _windows_nll_sum(x, windows, spec, geodesic, chunk)
+        return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
+
+    return jax.value_and_grad(obj)(flat)
+
+
 class VecchiaLikelihood:
     """Precomputed Vecchia scaffold (ordering + neighbor windows) exposing
     a jittable ``nll(flat)`` and its gradient for a fixed dataset.
@@ -664,23 +683,33 @@ def fit_vecchia(
     # (lax.scan carry dtype mismatch), exactly as fit_vecchia_device casts.
     win_dt = lik._win[0].dtype
     lo, hi = jnp.asarray(lo_np, win_dt), jnp.asarray(hi_np, win_dt)
+    geo_flag = lik.geodesic
 
     if mesh is not None:
         from cokriging_tpu.parallel import sharded_vecchia_nll
 
-        def nll_fn(x):
-            return sharded_vecchia_nll(lik, x, spec, mesh=mesh, chunk=chunk)
+        # mesh path: the sharded objective manages its own window
+        # placement; closure is fine at the mesh path's problem sizes
+        @jax.jit
+        def value_and_grad_u(u, _windows):
+            def obj(uu):
+                x = lo + (hi - lo) * jax.nn.sigmoid(uu)
+                return sharded_vecchia_nll(lik, x, spec, mesh=mesh, chunk=chunk)
+
+            return jax.value_and_grad(obj)(u)
     else:
-        def nll_fn(x):
-            return lik.nll(x, spec)
+        # windows as jit ARGUMENTS, not closure constants: closed-over
+        # window tensors serialize into the compiled program's payload
+        # (~570 MB at N = 1M -> remote-compile HTTP 413)
+        @jax.jit
+        def value_and_grad_u(u, windows):
+            def obj(uu):
+                x = lo + (hi - lo) * jax.nn.sigmoid(uu)
+                n = windows[0].shape[0]
+                total = _windows_nll_sum(x, windows, spec, geo_flag, chunk)
+                return 0.5 * (total + n * jnp.log(2.0 * jnp.pi))
 
-    @jax.jit
-    def value_and_grad_u(u):
-        def obj(uu):
-            x = lo + (hi - lo) * jax.nn.sigmoid(uu)
-            return nll_fn(x)
-
-        return jax.value_and_grad(obj)(u)
+            return jax.value_and_grad(obj)(u)
 
     x0 = np.clip(
         np.asarray(init.to_flat(), np.float64),
@@ -694,7 +723,7 @@ def fit_vecchia(
 
     def fun(u):
         evals["n"] += 1
-        v, g = value_and_grad_u(jnp.asarray(u, win_dt))
+        v, g = value_and_grad_u(jnp.asarray(u, win_dt), lik._win)
         g = np.asarray(g)
         # zero any non-finite gradient entries (penalty-region probes)
         # instead of feeding them to L-BFGS, whose curvature memory a

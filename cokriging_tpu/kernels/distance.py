@@ -29,18 +29,34 @@ from cokriging_tpu.utils.config import EARTH_RADIUS_KM
 #: grid spacing and far above the rewrite noise.
 ZERO_SNAP = 1e-6
 
+#: f32 snap for the GEODESIC paths. XLA fuses deg2rad differently into the
+#: row and column broadcasts, so under jit identical f32 coordinates yield
+#: dlat/dlon of ~1 ulp (~1.2e-7 rad) -> self-distances up to ~1e-3 km
+#: (measured 5.5e-4), a thousand times the f64 snap. The lost nugget then
+#: de-regularizes every f32 covariance diagonal: local kriging systems go
+#: near-singular and f32 predictions diverge from f64 by sigmas (found by
+#: tools/f32_parity.py). 2e-2 km is ~20x above the ulp noise and ~275x
+#: below the smallest real grid spacing (the 0.05-degree L2 grid, 5.5 km).
+#: Euclidean distances are unaffected (the coordinate difference of one
+#: broadcast array is exact) and keep the tight snap in both dtypes.
+ZERO_SNAP_F32_KM = 2e-2
+
 
 def _snap(d, tol):
+    if tol is None:
+        tol = ZERO_SNAP_F32_KM if d.dtype == jnp.float32 else ZERO_SNAP
     return jnp.where(d > tol, d, 0.0)
 
 
-def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM, zero_tol=ZERO_SNAP):
+def haversine_matrix(coords1, coords2, radius=EARTH_RADIUS_KM, zero_tol=None):
     """Great-circle distance matrix in kilometers.
 
     Args:
         coords1: (n, 2) array of [lat, lon] in degrees (reference row format,
             src/fields.py:325-329).
         coords2: (m, 2) array of [lat, lon] in degrees.
+        zero_tol: snap-to-zero tolerance; None selects the dtype-aware
+            default (ZERO_SNAP for f64, ZERO_SNAP_F32_KM for f32).
 
     Returns:
         (n, m) distances; matches sklearn ``haversine_distances * R``.
@@ -83,7 +99,7 @@ WGS84_F = 1.0 / 298.257223563
 WGS84_B_KM = WGS84_A_KM * (1.0 - WGS84_F)
 
 
-def vincenty_matrix(coords1, coords2, n_iter=30, zero_tol=ZERO_SNAP):
+def vincenty_matrix(coords1, coords2, n_iter=30, zero_tol=None):
     """Exact ellipsoidal (WGS84) distance matrix in kilometers — the
     TPU-native equivalent of the reference's slow path
     (``distance_matrix(..., fast_dist=False)`` via geopy,

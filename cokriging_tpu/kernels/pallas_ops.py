@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cokriging_tpu.utils.config import EARTH_RADIUS_KM
-from cokriging_tpu.kernels.distance import ZERO_SNAP
+from cokriging_tpu.kernels.distance import ZERO_SNAP, ZERO_SNAP_F32_KM
 
 BM = 256  # rows per tile
 BN = 512  # cols per tile
@@ -46,9 +46,13 @@ def _tile_distance(lat_a, lon_a, lat_b, lon_b, geodesic):
             + jnp.cos(p1) * jnp.cos(p2) * jnp.sin(0.5 * dlon) ** 2
         )
         d = 2.0 * EARTH_RADIUS_KM * jnp.arcsin(jnp.sqrt(jnp.clip(s, 0.0, 1.0)))
+        # dtype-aware snap (kernels run f32 on TPU, f64 in interpret-mode
+        # tests): see kernels.distance.ZERO_SNAP_F32_KM
+        tol = ZERO_SNAP_F32_KM if d.dtype == jnp.float32 else ZERO_SNAP
     else:
         d = jnp.sqrt((lat_a - lat_b) ** 2 + (lon_a - lon_b) ** 2)
-    return jnp.where(d > ZERO_SNAP, d, 0.0)
+        tol = ZERO_SNAP
+    return jnp.where(d > tol, d, 0.0)
 
 
 def _make_kernel(n_bins, geodesic):

@@ -72,7 +72,13 @@ def main():
         jax.block_until_ready(lik._win)
         t_build = time.perf_counter() - t0
 
-        vg = jax.jit(jax.value_and_grad(lambda f: lik.nll(f, spec)))
+        from cokriging_tpu.estimate.vecchia import vecchia_nll_value_and_grad
+
+        def vg(f):
+            return vecchia_nll_value_and_grad(
+                f, lik._win, spec, geodesic=True, chunk=lik.chunk
+            )
+
         v, g = vg(flat)
         jax.block_until_ready((v, g))  # compile + first eval
         t0 = time.perf_counter()

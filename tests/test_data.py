@@ -151,3 +151,27 @@ def test_prep_xco2_filters():
     out = prep_xco2(ds)
     assert len(out) == 2
     np.testing.assert_allclose(out["xco2_var"].values, [1.0, 1.4])
+
+def test_open_mf_concurrent_matches_serial(tmp_path):
+    """Thread-pooled multi-granule ingest preserves order and values
+    exactly (the open_mfdataset(parallel=True) analog)."""
+    import h5py
+
+    from cokriging_tpu.data.readers import open_mf, prep_sif
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for g in range(6):
+        p = tmp_path / f"granule_{g}.h5"
+        n = 50 + 10 * g
+        with h5py.File(p, "w") as f:
+            f["Daily_SIF_740nm"] = rng.normal(0.5, 0.3, n)
+            f["SIF_Uncertainty_740nm"] = np.full(n, 0.3)
+            f["Quality_Flag"] = rng.choice([0, 1, 2], size=n)
+            f["Longitude"] = rng.uniform(-120, -70, n)
+            f["Latitude"] = rng.uniform(25, 50, n)
+            f["Delta_Time"] = np.full(n, 1_554_076_800_000_000_000, "i8")
+        paths.append(p)
+    serial = open_mf(paths, prep_sif, workers=1)
+    conc = open_mf(paths, prep_sif, workers=4)
+    pd.testing.assert_frame_equal(conc, serial)

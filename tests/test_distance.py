@@ -110,3 +110,66 @@ def test_dispatch_exact(rng):
         np.asarray(distance_matrix(c, c, geodesic=True, exact=True)),
         np.asarray(vincenty_matrix(c, c)),
     )
+
+
+def test_jitted_f32_self_distance_snaps_to_zero():
+    """f32 regression (found by tools/f32_parity.py): XLA fuses deg2rad
+    differently into the row/column broadcasts, so jitted f32 haversine
+    self-distances come out ~1e-3 km. The dtype-aware snap must still map
+    them to EXACT 0 — the nugget-at-h==0 convention depends on it; losing
+    it de-regularized every f32 covariance diagonal and sent f32 local
+    predictions sigmas away from f64."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    c = np.column_stack(
+        [rng.uniform(28.0, 46.0, 80), rng.uniform(-120.0, -72.0, 80)]
+    ).astype(np.float32)
+    cj = jnp.asarray(c)
+    d = np.asarray(jax.jit(haversine_matrix)(cj, cj))
+    assert (np.diag(d) == 0.0).all()
+    # off-diagonal small distances must NOT be snapped (smallest real grid
+    # spacing, the 0.05-degree L2 grid, is ~5.5 km >> the f32 snap)
+    off = d[~np.eye(80, dtype=bool)]
+    assert off.min() > 1.0
+
+
+def test_f32_local_prediction_close_to_f64():
+    """End-to-end f32-vs-f64 parity of the local cokriging path on a
+    benign model (measured rel-RMS ~1e-5 after the snap fix; it was ~3 —
+    i.e. uncorrelated garbage — before)."""
+    import jax.numpy as jnp
+
+    from cokriging_tpu.cov import MaternParams, MultivariateMatern
+    from cokriging_tpu.fields.field import Field, MultiField
+    from cokriging_tpu.predict import LocalPredictor
+
+    rng = np.random.default_rng(0)
+    n = 150
+    params = MaternParams.from_flat(
+        np.array([1.0, 0.9, 1.5, 1.25, 1.0, 500.0, 548.0, 600.0, 0.05, 0.05, -0.4])
+    )
+    c1 = np.column_stack([rng.uniform(28, 46, n), rng.uniform(-120, -72, n)])
+    c2 = np.column_stack([rng.uniform(28, 46, n), rng.uniform(-120, -72, n)])
+    v1, v2 = rng.normal(size=n), rng.normal(size=n)
+    probe = np.column_stack(
+        [rng.uniform(30, 44, 60), rng.uniform(-115, -75, 60)]
+    )
+    preds = {}
+    for dt in (jnp.float64, jnp.float32):
+        fields = []
+        for c, v, nm in ((c1, v1, "Z0"), (c2, v2, "Z1")):
+            f = Field.from_arrays(
+                c.astype(np.dtype(dt)), v.astype(np.dtype(dt)), nm
+            )
+            f.geodesic = True
+            fields.append(f)
+        lp = LocalPredictor(
+            MultivariateMatern(params=params.astype(dt)),
+            MultiField(fields=fields),
+        )
+        out = lp(0, probe, max_dist=1000.0, postprocess=False)
+        preds[np.dtype(dt).name] = out["pred"].to_numpy()
+    d = preds["float32"] - preds["float64"]
+    rel = np.linalg.norm(d) / np.linalg.norm(preds["float64"])
+    assert rel < 1e-3, rel

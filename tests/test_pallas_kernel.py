@@ -213,7 +213,7 @@ def test_matern_block_grad_pallas_symmetric(rng, monkeypatch):
         P.matern_block_grad_pallas(*args, h[:, :20], ct[:, :20], symmetric=True)
 
 
-def test_matern_corr_pairs_pallas_matches_jnp(rng, monkeypatch):
+def test_matern_corr_pairs_pallas_matches_jnp(monkeypatch):
     """Gathered-pairs forward kernel (per-entry pair-index selects of
     per-pair SMEM constants) vs per-entry selection + the jnp correlation,
     in interpret mode with shrunken tiles (ragged size -> padding)."""
@@ -221,6 +221,7 @@ def test_matern_corr_pairs_pallas_matches_jnp(rng, monkeypatch):
 
     from cokriging_tpu.cov.matern import matern_correlation
 
+    rng = np.random.default_rng(11)  # local: FD tolerances are seed-bound
     monkeypatch.setattr(P, "PM", 8)
     monkeypatch.setattr(P, "PN", 128)
     nu_pairs = jnp.asarray([0.7, 1.5, 3.1], jnp.float32)
@@ -246,7 +247,7 @@ def test_matern_corr_pairs_pallas_matches_jnp(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=5e-6)
 
 
-def test_matern_corr_pairs_grad_pallas_matches_ad(rng, monkeypatch):
+def test_matern_corr_pairs_grad_pallas_matches_ad(monkeypatch):
     """Gathered-pairs backward kernel (in-place per-pair cotangent sums)
     vs plain AD through the per-entry-select + raw-correlation fallback."""
     import jax
@@ -254,6 +255,7 @@ def test_matern_corr_pairs_grad_pallas_matches_ad(rng, monkeypatch):
 
     import cokriging_tpu.cov.matern as M
 
+    rng = np.random.default_rng(12)  # local: FD tolerances are seed-bound
     monkeypatch.setattr(P, "PGM", 8)
     monkeypatch.setattr(P, "PGN", 128)
     h = np.abs(rng.normal(size=(1800,))).astype(np.float32) * 600.0
@@ -288,7 +290,8 @@ def test_matern_corr_pairs_grad_pallas_matches_ad(rng, monkeypatch):
     )
 
 
-def test_windows_covariance_matches_gathered(rng):
+def test_windows_covariance_matches_gathered():
+    rng = np.random.default_rng(13)
     """Batched tril-mirrored windows_covariance == per-window
     gathered_covariance (the Vecchia _chunk_nll restructure is value-
     preserving on the XLA fallback path)."""

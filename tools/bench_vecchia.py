@@ -50,7 +50,15 @@ def main():
     spec = params.spec
     x0 = np.asarray(params.to_flat(), np.float32)
 
-    vg = jax.jit(jax.value_and_grad(lambda x: lik.nll(x, spec)))
+    from cokriging_tpu.estimate.vecchia import vecchia_nll_value_and_grad
+
+    def vg(x):
+        # windows as args (not closure constants): see
+        # vecchia_nll_value_and_grad — 570 MB of embedded constants at 1M
+        # terms blows the remote-compile payload limit
+        return vecchia_nll_value_and_grad(
+            x, lik._win, spec, geodesic=True, chunk=CHUNK
+        )
 
     t0 = time.perf_counter()
     v, g = vg(jnp.asarray(x0))
