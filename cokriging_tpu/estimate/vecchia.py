@@ -30,18 +30,26 @@ nugget on exact-zero marginal distances, rho sigma_a sigma_b cross
 amplitude; src/model.py:193-207).
 
 TPU design notes:
-- the maxmin ordering is a jittable fori_loop with scalar carries
-  (O(N^2) flops, N sequential steps — seconds at N = 100k);
-- neighbor search is a blocked masked top-k over the ordered prefix,
-  O(N^2 / block) device passes, never materializing N x N;
-- the NLL itself scans over fixed-size term chunks; each chunk gathers
-  (m+1)-wide coordinate/value windows, evaluates the Matern correlation
-  elementwise over per-entry (nu, len_scale) gathered from the parameter
-  matrices, and reads the conditional off the LAST component of the
-  whitened vector u = L^{-1} z (for the ordering [neighbors, self],
-  -2 log p(z_i | nbrs) = u_m^2 + 2 log L_mm + log 2pi).
+- ordering: exact maxmin is a jittable fori_loop with scalar carries —
+  N sequential steps, so wall-clock-linear in N (~100 s at 80k); above
+  20k points the auto default is coarse_to_fine_order, an O(N log N)
+  host-side nested-grid decimation with the same coarse-first structure
+  (~3 s at N = 1M);
+- neighbor search: exact blocked masked top-k on device to ~1e5; above,
+  nearest_previous_neighbors_kd (doubling-block kd-trees, O(N log N)
+  host);
+- the NLL scans fixed-size term chunks; each chunk is processed BATCHED,
+  gathering only the lower triangle of its symmetric (m+1)-wide windows,
+  with the Matern correlations routed through the gathered-pairs Pallas
+  kernels on the TPU f32 path (kernels/pallas_ops.py) and the
+  conditional read off the LAST component of the whitened vector
+  u = L^{-1} z (for the ordering [neighbors, self],
+  -2 log p(z_i | nbrs) = u_m^2 + 2 log L_mm + log 2pi);
 - masked lanes (terms with fewer than m predecessors) are identity
-  rows/columns with z = 0, contributing nothing to u_m.
+  rows/columns with z = 0, contributing nothing to u_m;
+- measured (examples/vecchia_scaling.py, m=20, f32, one v5e chip): warm
+  value+grad 3.9 s at 100k terms, 18.4 s at 500k, 37.0 s at 1M — the
+  linear axis holds to a million observations.
 """
 
 from functools import partial

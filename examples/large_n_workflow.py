@@ -40,9 +40,9 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     n = 40_000 if on_tpu else 300         # per process
     n_pred = 4_000 if on_tpu else 100
-    # m = 20 keeps the demo fit under ~10 min on one chip (the per-term
-    # K_nu work scales as m^2); accuracy studies use m sweeps
-    # (examples/vecchia_scaling.py)
+    # with the gathered-pairs Pallas kernels one warm value+grad at 80k
+    # terms is ~3 s, so a converged 100+-iteration fit lands in minutes;
+    # accuracy studies use m sweeps (examples/vecchia_scaling.py)
     m = 20 if on_tpu else 12
     # f32 on TPU (the fast path, DESIGN.md §6): emulated f64 there is
     # ~50x slower and at this scale faults the worker outright
@@ -80,7 +80,7 @@ def main():
 
     t0 = time.perf_counter()
     params, info = fit_vecchia(
-        mf, init=init, m=m, maxiter=20 if on_tpu else 40, main=False,
+        mf, init=init, m=m, maxiter=150 if on_tpu else 40, main=False,
         chunk=4096,
     )
     t_fit = time.perf_counter() - t0
