@@ -414,24 +414,40 @@ def gathered_covariance(params: MaternParams, d, procs_a, procs_b=None):
     process pairs with the nugget on exact-zero distances, and
     rho_ij sigma_i sigma_j M_ij across processes (src/model.py:193-207).
 
-    This is the single gather-indexed formulation shared by the Vecchia
-    term windows (estimate.vecchia) and the direct-assembly local predictor
-    (predict.local, materialize_cov=False); ``block_covariance`` is its
-    block-structured counterpart for process-sorted observation stacks.
-    Broadcasts over leading batch dimensions.
+    This is the single gather-indexed formulation shared by the matrix-
+    free CG matvec (predict.iterative) and the direct-assembly local
+    predictor (predict.local, materialize_cov=False);
+    ``windows_covariance`` is the batched symmetric-window variant
+    (Vecchia) and ``block_covariance`` the block-structured counterpart
+    for process-sorted stacks. Broadcasts over leading batch dimensions.
+    The Matern correlations route through ``matern_corr_pairs``: large
+    f32 TPU tiles take the fused Pallas pair kernels (the CG matvec's
+    (block, N) rows qualify), small/f64 shapes the plain elementwise
+    path — identical values either way.
     """
     if procs_b is None:
         procs_b = procs_a
+    d = jnp.asarray(d)
     pa = procs_a[..., :, None]
     pb = procs_b[..., None, :]
     same = pa == pb
     sig = params.sigma
-    corr = _matern_corr_raw(params.nu[pa, pb], params.len_scale[pa, pb], d)
+
+    p = params.n_procs
+    pair_list = [(i, j) for i in range(p) for j in range(i, p)]
+    table = np.zeros((p, p), np.int32)
+    for k, (i, j) in enumerate(pair_list):
+        table[i, j] = table[j, i] = k
+    idx = jnp.broadcast_to(jnp.asarray(table)[pa, pb], d.shape)
+    nu_pairs = jnp.stack([params.nu[i, j] for i, j in pair_list])
+    ls_pairs = jnp.stack([params.len_scale[i, j] for i, j in pair_list])
+    corr = matern_corr_pairs(nu_pairs, ls_pairs, idx.astype(d.dtype), d)
+
     amp = jnp.where(
         same, sig[pa] ** 2, params.rho[pa, pb] * sig[pa] * sig[pb]
     )
     return amp * corr + jnp.where(
-        same & (jnp.asarray(d) == 0.0), params.nugget[pa], 0.0
+        same & (d == 0.0), params.nugget[pa], 0.0
     )
 
 

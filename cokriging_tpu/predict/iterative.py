@@ -113,12 +113,17 @@ def _matvec_fn(geodesic, block, mesh):
 
 
 def _pcg(matvec, B, diag, tol, maxiter):
-    """Jacobi-preconditioned CG with per-column step sizes.
+    """Jacobi-preconditioned CG with per-column step sizes, one program.
 
-    Solves C X = B for every column of B in one program. Converged columns
-    are frozen by the zero-guarded alpha/beta (their residuals are ~0, so
-    the guards zero their updates). Returns (X, iterations, worst relative
-    residual).
+    Solves C X = B for every column of B. Converged columns are frozen by
+    the zero-guarded alpha/beta (their residuals are ~0, so the guards
+    zero their updates). Returns (X, iterations, worst relative residual).
+
+    NOTE: prefer the SEGMENTED host driver (_pcg_host) on TPU — a single
+    dispatch whose while_loop runs much past ~40 s trips the remote
+    worker's deadman and kills the worker outright (measured: 15
+    iterations x 2.6 s fine, 40 fatal, n = 8k). This one-program form
+    remains for small systems and the mesh dryrun.
     """
     bnorm = jnp.maximum(jnp.linalg.norm(B, axis=0), jnp.finfo(B.dtype).tiny)
     x = jnp.zeros_like(B)
@@ -153,30 +158,118 @@ def _pcg(matvec, B, diag, tol, maxiter):
 
 
 @partial(jax.jit, static_argnames=("geodesic", "block", "mesh"))
+def _pcg_init_core(params, coords, procs, mask, B, *, geodesic, block, mesh):
+    """Initial CG state for the masked system (one small program)."""
+    diag = params.sigma[procs] ** 2 + params.nugget[procs]
+    B = B * mask[:, None]
+    bnorm = jnp.maximum(jnp.linalg.norm(B, axis=0), jnp.finfo(B.dtype).tiny)
+    x = jnp.zeros_like(B)
+    r = B
+    z = r / diag[:, None]
+    p = z
+    rz = jnp.sum(r * z, axis=0)
+    return (x, r, p, rz), diag, bnorm
+
+
+@partial(jax.jit, static_argnames=("geodesic", "block", "mesh", "seg"))
+def _pcg_segment_core(
+    params, coords, procs, mask, diag, bnorm, state, tol,
+    *, geodesic, block, mesh, seg,
+):
+    """Up to ``seg`` CG iterations from ``state`` (one bounded dispatch)."""
+    matvec = _matvec_fn(geodesic, block, mesh)
+
+    def mv(v):
+        return matvec(params, coords, procs, mask, v)
+
+    def cond(s):
+        k, _, r, _, _ = s
+        rel = jnp.linalg.norm(r, axis=0) / bnorm
+        return (k < seg) & (jnp.max(rel) > tol)
+
+    def body(s):
+        k, x, r, p, rz = s
+        ap = mv(p)
+        den = jnp.sum(p * ap, axis=0)
+        alpha = jnp.where(den > 0, rz / jnp.where(den > 0, den, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * ap
+        z = r / diag[:, None]
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta[None, :] * p
+        return k + 1, x, r, p, rz_new
+
+    x, r, p, rz = state
+    k, x, r, p, rz = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, p, rz)
+    )
+    rel = jnp.max(jnp.linalg.norm(r, axis=0) / bnorm)
+    return (x, r, p, rz), k, rel
+
+
+#: Per-dispatch wall-clock budget for a CG segment (seconds). The remote
+#: TPU worker kills dispatches running much past ~40-60 s (deadman);
+#: segments re-enter with state carried on device, so the budget costs
+#: only dispatch latency.
+SEG_BUDGET_S = 20.0
+_SEG_CHOICES = (1, 2, 4, 8, 16, 32)  # pow2: bounds distinct compiles
+
+
+def _pcg_host(
+    params, coords, procs, mask, B, tol, maxiter,
+    *, geodesic, block, mesh,
+):
+    """Segmented CG driver: bounded dispatches, device-resident state.
+
+    Runs `_pcg_segment_core` repeatedly, adapting the per-dispatch
+    iteration count to SEG_BUDGET_S from the measured per-iteration wall
+    (snapped to powers of two so at most ~6 distinct programs compile).
+    Semantics identical to the one-program `_pcg`.
+    """
+    import time as _time
+
+    statics = dict(geodesic=geodesic, block=block, mesh=mesh)
+    state, diag, bnorm = _pcg_init_core(
+        params, coords, procs, mask, B, **statics
+    )
+    total = 0
+    rel = np.inf
+    seg = 2
+    while total < maxiter:
+        seg_eff = min(seg, max(maxiter - total, 1))
+        # snap to the pow2 menu (<= seg_eff) to reuse compiled programs
+        seg_eff = max(s for s in _SEG_CHOICES if s <= max(seg_eff, 1))
+        t0 = _time.perf_counter()
+        state, k, rel_j = _pcg_segment_core(
+            params, coords, procs, mask, diag, bnorm, state, tol,
+            seg=seg_eff, **statics,
+        )
+        k = int(k)
+        rel = float(rel_j)
+        dt = _time.perf_counter() - t0
+        total += k
+        if rel <= tol or k < seg_eff:
+            break
+        per_iter = max(dt / max(k, 1), 1e-3)
+        seg = max(1, int(SEG_BUDGET_S / per_iter))
+    return state[0], total, rel
+
+
 def _solve_core(
     params, coords, procs, mask, B, tol, maxiter, *, geodesic, block, mesh
 ):
-    """X = C^-1 B for the (padded, masked) stacked joint system."""
-    matvec = _matvec_fn(geodesic, block, mesh)
-    diag = params.sigma[procs] ** 2 + params.nugget[procs]
-    return _pcg(
-        lambda v: matvec(params, coords, procs, mask, v),
-        B * mask[:, None],
-        diag,
-        tol,
-        maxiter,
+    """X = C^-1 B for the (padded, masked) stacked joint system
+    (segmented host driver; see _pcg_host)."""
+    return _pcg_host(
+        params, coords, procs, mask, B, tol, maxiter,
+        geodesic=geodesic, block=block, mesh=mesh,
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("i", "geodesic", "block", "mesh", "compute_err"),
-)
-def _predict_chunk_core(
-    params, coords, procs, mask, a, pchunk, tol, maxiter,
-    *, i, geodesic, block, mesh, compute_err,
-):
-    """(pred, pred_err, cg_iters, cg_resid) for one prediction chunk.
+@partial(jax.jit, static_argnames=("i", "geodesic"))
+def _predict_K_core(params, coords, procs, mask, a, pchunk, *, i, geodesic):
+    """(K, pred) for one prediction chunk.
 
     K follows src/joint_prediction.py:104-122 exactly: marginal rows carry
     the nugget at exact-zero distance (use_nugget=True), cross rows do not
@@ -187,13 +280,25 @@ def _predict_chunk_core(
     d = _dist(coords, pchunk, geodesic)
     K = gathered_covariance(params, d, procs, pprocs) * mask[:, None]
     pred = K.T @ a[:, 0]
+    return K, pred
+
+
+def _predict_chunk_core(
+    params, coords, procs, mask, a, pchunk, tol, maxiter,
+    *, i, geodesic, block, mesh, compute_err,
+):
+    """(pred, pred_err, cg_iters, cg_resid) for one prediction chunk —
+    cross-covariance assembly in one jit, the error solves through the
+    SEGMENTED CG driver (bounded dispatches, see _pcg_host)."""
+    K, pred = _predict_K_core(
+        params, coords, procs, mask, a, pchunk, i=i, geodesic=geodesic
+    )
     if not compute_err:
         nan = jnp.full_like(pred, jnp.nan)
-        return pred, nan, jnp.int32(0), jnp.zeros((), K.dtype)
-    matvec = _matvec_fn(geodesic, block, mesh)
-    diag = params.sigma[procs] ** 2 + params.nugget[procs]
-    X, iters, resid = _pcg(
-        lambda v: matvec(params, coords, procs, mask, v), K, diag, tol, maxiter
+        return pred, nan, 0, 0.0
+    X, iters, resid = _pcg_host(
+        params, coords, procs, mask, K, tol, maxiter,
+        geodesic=geodesic, block=block, mesh=mesh,
     )
     # diag(K*) = sigma_i^2 M(0) + nugget_i (prediction-grid covariance
     # diagonal, src/joint_prediction.py:94-102)
@@ -202,15 +307,25 @@ def _predict_chunk_core(
     return pred, jnp.sqrt(jnp.maximum(var, 0.0)), iters, resid
 
 
-@partial(jax.jit, static_argnames=("geodesic", "block", "mesh"))
+@jax.jit
+def _unit_cols_core(rows, mask, dtype_probe):
+    """(N, q) unit-vector columns for the given rows (tiny program)."""
+    q = rows.shape[0]
+    return (
+        jnp.zeros((mask.shape[0], q), dtype_probe.dtype)
+        .at[rows, jnp.arange(q)]
+        .set(1.0)
+    )
+
+
 def _loocv_chunk_core(
     params, coords, procs, mask, z, rows, tol, maxiter,
     *, geodesic, block, mesh,
 ):
     """LOOCV for one chunk of data rows via unit-vector precision columns.
 
-    Solves X = C^-1 E_rows (one multi-RHS CG); by symmetry of C^-1,
-    column j of X is row ``rows[j]`` of the precision matrix, so
+    Solves X = C^-1 E_rows (one multi-RHS segmented CG); by symmetry of
+    C^-1, column j of X is row ``rows[j]`` of the precision matrix, so
 
         pkk_j = X[rows_j, j],   (C^-1 z)_{rows_j} = X[:, j]^T z,
 
@@ -225,11 +340,10 @@ def _loocv_chunk_core(
     vs the reference's O(n) full refactorizations.
     """
     q = rows.shape[0]
-    e = jnp.zeros((mask.shape[0], q), z.dtype).at[rows, jnp.arange(q)].set(1.0)
-    matvec = _matvec_fn(geodesic, block, mesh)
-    diag = params.sigma[procs] ** 2 + params.nugget[procs]
-    X, iters, resid = _pcg(
-        lambda v: matvec(params, coords, procs, mask, v), e, diag, tol, maxiter
+    e = _unit_cols_core(rows, mask, z)
+    X, iters, resid = _pcg_host(
+        params, coords, procs, mask, e, tol, maxiter,
+        geodesic=geodesic, block=block, mesh=mesh,
     )
     pkk = X[rows, jnp.arange(q)]
     cz = X.T @ (z * mask)

@@ -68,7 +68,11 @@ def main():
     k_rw = np.asarray(matern_correlation(nu, ell, h, h_grad=False))
     err = np.max(np.abs(k_classic - k_rw))
     print(f"classic(s=ell/sqrt(2nu)) vs R&W(ell) correlation: max|diff| = {err:.2e}")
-    assert err < 1e-10
+    # TPU emulates f64 (f32 exponent range): K_nu reaches ~1e-10 relative
+    # there vs ~1e-13 on true-IEEE CPU f64 (DESIGN.md §6)
+    import jax
+
+    assert err < (1e-8 if jax.default_backend() == "tpu" else 1e-10)
     back = classic_to_rw_len_scale(s_classic, nu)
     assert abs(float(back) - ell) < 1e-12
 
@@ -100,7 +104,7 @@ def main():
     s_cw = density_cw(w, d, nu, float(s_classic))
     err_sd = np.max(np.abs(s_cw - s_rw) / np.abs(s_rw))
     print(f"Cressie-Wikle vs R&W spectral density (d=1): max rel diff = {err_sd:.2e}")
-    assert err_sd < 1e-10
+    assert err_sd < (1e-7 if jax.default_backend() == "tpu" else 1e-10)
 
     # --- 3. spectrum -> covariance roundtrip (cell 14) ------------------
     h_chk = np.array([0.25, 0.5, 1.0, 1.5, 2.5])

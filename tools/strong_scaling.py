@@ -27,8 +27,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(os.environ.get("BENCH_N", 4000))  # per process
-REPS = 3
+N = int(os.environ.get("BENCH_N", 1500))  # per process
+REPS = 2
 
 
 def timed(fn, *args, **kw):
@@ -79,7 +79,7 @@ def main():
         [1.0, 1.0, 1.5, 1.5, 1.5, 300.0, 300.0, 300.0, 0.05, 0.05, -0.5]
     )
     spec = ParamSpec(n_procs=2)
-    lik = VecchiaLikelihood([c1, c2], [v1, v2], m=15, geodesic=True, chunk=1024)
+    lik = VecchiaLikelihood([c1, c2], [v1, v2], m=10, geodesic=True, chunk=1024)
 
     params = MaternParams.default(2).with_flat(flat)
     sub = max(1, N // 400)
