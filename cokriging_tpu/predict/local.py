@@ -83,6 +83,73 @@ def _kmax_program(pcoords, coords_tuple, n_valid, max_dist, i, geodesic, cv):
     return jnp.stack(ks)
 
 
+@partial(jax.jit, static_argnames=("i", "geodesic", "cv"))
+def _local_predict_gathered(
+    params, gc, gz, pid, mask, s0, i, geodesic, cv
+):
+    """Vmapped local prediction from HOST-GATHERED neighborhoods.
+
+    The companion program to `_local_predict_batch` for the large-N
+    regime: neighbor INDICES come from a host kd-tree query (O(log N)
+    per location) instead of an on-device masked top-k over an N-wide
+    distance row (whose sort-based lowering dominates wall-clock once N
+    reaches ~10^5-10^6). The device sees only the gathered (B, K)
+    windows — coordinates, values, per-lane process ids — and computes
+    true distances, the reference-convention local covariance, and the
+    masked Cholesky solve exactly as the device-search path does
+    (tests pin the two paths equal).
+
+    Args:
+        gc: (B, K, 2) gathered neighbor coordinates.
+        gz: (B, K) gathered neighbor values (masked lanes zeroed here).
+        pid: (K,) static-per-lane process ids.
+        mask: (B, K) true-neighbor mask (radius + validity from the host
+            query).
+        s0: (B, 2) prediction locations.
+        cv: LOOCV mode — additionally drops zero-distance process-i lanes
+            (the reference's d > 0 self-exclusion,
+            src/point_prediction.py:140-142), computed on true distances
+            so semantics match the device-search path exactly.
+    """
+    c0 = covariance(params, i, jnp.zeros(1), use_nugget=True)[0]
+
+    def one_location(s0_k, gc_k, gz_k, mask_k):
+        dvec = _dist(s0_k[None, :], gc_k, geodesic)[0]
+        if cv:
+            mask_k = mask_k & ((pid != i) | (dvec > 0.0))
+        k_tot = gc_k.shape[0]
+        from cokriging_tpu.cov.matern import gathered_covariance
+
+        dm = _dist(gc_k, gc_k, geodesic)
+        eye = jnp.eye(k_tot, dtype=gz_k.dtype)
+        m2 = mask_k[:, None] & mask_k[None, :]
+        a = jnp.where(m2, gathered_covariance(params, dm, pid).astype(eye.dtype), eye)
+
+        cvec = jnp.zeros_like(dvec)
+        for j in range(params.sigma.shape[0]):
+            cj = (
+                covariance(params, i, dvec, use_nugget=True)
+                if j == i
+                else cross_covariance(params, i, j, dvec)
+            )
+            cvec = jnp.where(pid == j, cj, cvec)
+        cvec = cvec * mask_k
+        z = gz_k * mask_k
+        w, chol_diag = blocked_spd_solve(a, cvec)
+        pred = w @ z
+        var = c0 - w @ cvec
+        err = jnp.sqrt(jnp.maximum(var, 0.0))
+        ok = (jnp.sum(mask_k) > 0) & jnp.all(~jnp.isnan(chol_diag))
+        nan = jnp.nan
+        return (
+            jnp.where(ok, pred, nan),
+            jnp.where(ok, err, nan),
+            jnp.sum(mask_k),
+        )
+
+    return jax.vmap(one_location)(s0, gc, gz, mask)
+
+
 @partial(
     jax.jit,
     static_argnames=("i", "geodesic", "sizes", "k_each", "cv", "direct_cov"),
@@ -212,19 +279,33 @@ class LocalPredictor:
     """OO surface mirroring the reference point Predictor
     (src/point_prediction.py:21-346)."""
 
+    #: data size beyond which the direct-assembly path switches to the
+    #: host kd-tree neighborhood search by default: the device masked
+    #: top-k scans an N-wide distance row per location, whose sort-based
+    #: lowering dominates wall-clock once N reaches ~10^5
+    KD_AUTO_THRESHOLD = 100_000
+
     def __init__(
         self,
         mod,
         mf,
         covariates: Optional[pd.DataFrame] = None,
         materialize_cov: bool = True,
+        neighbor_method: str = "auto",
     ) -> None:
         """``materialize_cov=False`` skips precomputing the n x n joint
         data covariance; each local system is instead assembled from its
         gathered neighborhood coordinates inside the vmapped program.
         Slightly more flops per location, O(n) memory total — use it when
         the data no longer fits as an n x n matrix (n >~ 50k on one chip;
-        the estimation-side analog is estimate.vecchia)."""
+        the estimation-side analog is estimate.vecchia).
+
+        ``neighbor_method``: "device" (masked top-k over the full
+        distance row — exact, O(N) per location on chip), "kd" (host
+        kd-tree query feeding `_local_predict_gathered` — same
+        all-within-max_dist semantics, O(log N) per location, the
+        large-N path), or "auto" (kd once the data outgrows
+        KD_AUTO_THRESHOLD on the direct-assembly path)."""
         if mod.n_procs != mf.n_procs:
             raise ValueError(
                 "Number of theoretical processes different from empirical processes."
@@ -271,28 +352,180 @@ class LocalPredictor:
         self._values = tuple(values)
         self._sizes = tuple(int(v.shape[0]) for v in self._values)
         self._n_valid = tuple(n_valid)
+        if neighbor_method not in ("auto", "device", "kd"):
+            raise ValueError(f"unknown neighbor_method {neighbor_method!r}")
+        self.neighbor_method = neighbor_method
+        self._trees = None  # built lazily by the kd path
 
     def _neighborhood_widths(self, pcoords, max_dist, cv, i):
         """Static per-process K: max neighborhood size over all locations,
         bucketed to a power of two so jit programs are reused across months
         (masked lanes make any K >= the true width exact). One device
         program returning p ints — shipping the full n_pred x n_data
-        distance matrix to the host cost ~370 ms through the axon relay."""
-        kmax = np.asarray(
-            _kmax_program(
-                jnp.asarray(pcoords),
-                self._coords,
-                jnp.asarray(self._n_valid),
-                max_dist,
-                i,
-                self.mf.geodesic,
-                cv,
+        distance matrix to the host cost ~370 ms through the axon relay.
+
+        Prediction locations are processed in chunks sized so the
+        chunk x n_data distance buffer stays ~1 GB: one unchunked program
+        at n_pred = 16k, N = 1M would allocate a 20+ GB matrix and OOM the
+        chip (the large-N regime of examples/million_point_workflow.py).
+        """
+        n_data = max(self._sizes)
+        chunk = max(64, _bucket_pow2(int(2.5e8 // max(n_data, 1))))
+        n_pred = int(np.asarray(pcoords).shape[0])
+        chunk = min(chunk, _bucket_pow2(max(n_pred, 1)))
+        pad = (-n_pred) % chunk
+        pc = np.asarray(pcoords)
+        if pad:
+            # padded lanes repeat the first location: real data, so they
+            # can only repeat (never exceed) a real row's neighborhood
+            pc = np.concatenate([pc, np.repeat(pc[:1], pad, axis=0)])
+        n_valid = jnp.asarray(self._n_valid)
+        kmax = np.zeros(len(self._coords), np.int64)
+        for s in range(0, pc.shape[0], chunk):
+            k = np.asarray(
+                _kmax_program(
+                    jnp.asarray(pc[s : s + chunk]),
+                    self._coords,
+                    n_valid,
+                    max_dist,
+                    i,
+                    self.mf.geodesic,
+                    cv,
+                )
             )
-        )
+            kmax = np.maximum(kmax, k)
         return tuple(
             min(_bucket_pow2(max(int(k), 1)), self._sizes[j])
             for j, k in enumerate(kmax)
         )
+
+    def _embed(self, c):
+        """Query/data points in the kd metric space: 3-D unit-sphere
+        embedding for geodesic coords (chordal distance is monotone in
+        great-circle, so neighbor SETS and radius filters match
+        haversine's exactly), raw Euclidean otherwise."""
+        if self.mf.geodesic:
+            from cokriging_tpu.estimate.vecchia import _sphere_embed
+
+            return _sphere_embed(c)
+        return np.asarray(c, np.float64)
+
+    def _kd_radius(self, max_dist):
+        from cokriging_tpu.kernels.distance import EARTH_RADIUS_KM
+
+        if self.mf.geodesic:
+            half = min(max_dist / (2.0 * EARTH_RADIUS_KM), np.pi / 2)
+            return 2.0 * np.sin(half)
+        return float(max_dist)
+
+    def _predict_kd(self, p_arr, max_dist, i, cv):
+        """Large-N prediction: host kd-tree neighbor search + the
+        gathered-window device program (`_local_predict_gathered`).
+
+        Exact all-within-max_dist semantics: per-process neighborhood
+        widths come from an exact radius count (`query_ball_point`), so
+        the k-nearest query can never truncate a true neighborhood.
+        Prediction locations stream through in bounded host chunks so
+        gather buffers stay O(chunk * K) at any N.
+        """
+        from scipy.spatial import cKDTree
+
+        if self._trees is None:
+            pts = [
+                self._embed(np.asarray(c)[: self._n_valid[j]])
+                for j, c in enumerate(self._coords)
+            ]
+            self._trees = [cKDTree(p) for p in pts]
+        r = self._kd_radius(max_dist)
+        q_all = self._embed(np.asarray(p_arr))
+        # exact per-process neighborhood widths over ALL locations first,
+        # so every host chunk shares one compiled device program
+        k_each = []
+        for j, tree in enumerate(self._trees):
+            counts = tree.query_ball_point(
+                q_all, r * (1 + 1e-12), return_length=True, workers=-1
+            )
+            kmax = int(np.max(counts)) if len(counts) else 0
+            k_each.append(
+                min(_bucket_pow2(max(kmax, 1)), self._n_valid[j])
+            )
+        k_tot = max(sum(k_each), 1)
+        pid = jnp.asarray(
+            np.concatenate(
+                [np.full(k, j) for j, k in enumerate(k_each)]
+            ).astype(np.int32)
+        )
+
+        params = self.mod.params
+        dt = np.asarray(self._values[0]).dtype
+        dev_chunk = max(16, _bucket_pow2(int(6.7e7 // (k_tot * k_tot))))
+        n_pred = int(p_arr.shape[0])
+        dev_chunk = min(dev_chunk, _bucket_pow2(max(n_pred, 1)))
+        host_chunk = dev_chunk * max(1, 65536 // dev_chunk)
+
+        vals_np = [
+            np.asarray(v)[: self._n_valid[j]]
+            for j, v in enumerate(self._values)
+        ]
+        coords_np = [
+            np.asarray(c)[: self._n_valid[j]]
+            for j, c in enumerate(self._coords)
+        ]
+        out_pred, out_err, out_nnb = [], [], []
+        for s in range(0, n_pred, host_chunk):
+            pc = np.asarray(p_arr[s : s + host_chunk])
+            q = q_all[s : s + host_chunk]
+            gcs, gzs, masks = [], [], []
+            for j, tree in enumerate(self._trees):
+                k = k_each[j]
+                dd, ii = tree.query(q, k=k, workers=-1)
+                dd = dd.reshape(len(q), k)
+                ii = ii.reshape(len(q), k)
+                ok = dd <= r * (1 + 1e-12)  # also False for inf (k > n_j)
+                ii = np.where(ok, ii, 0)
+                gcs.append(coords_np[j][ii])
+                gzs.append(np.where(ok, vals_np[j][ii], 0.0))
+                masks.append(ok)
+            gc = np.concatenate(gcs, axis=1).astype(dt)
+            gz = np.concatenate(gzs, axis=1).astype(dt)
+            mask = np.concatenate(masks, axis=1)
+            # pad to the device chunk so all dispatches share one program
+            pad = (-len(pc)) % dev_chunk
+            if pad:
+                gc = np.concatenate([gc, np.repeat(gc[:1], pad, axis=0)])
+                gz = np.concatenate([gz, np.zeros((pad, k_tot), dt)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, k_tot), bool)]
+                )
+                pc = np.concatenate([pc, np.repeat(pc[:1], pad, axis=0)])
+            n_rows = len(pc)
+            n_real = n_rows - pad
+            cp, ce, cn = [], [], []
+            for t in range(0, n_rows, dev_chunk):
+                sl = slice(t, t + dev_chunk)
+                pr, er, nb = _local_predict_gathered(
+                    params,
+                    jnp.asarray(gc[sl]),
+                    jnp.asarray(gz[sl]),
+                    pid,
+                    jnp.asarray(mask[sl]),
+                    jnp.asarray(pc[sl].astype(dt)),
+                    i,
+                    self.mf.geodesic,
+                    cv,
+                )
+                cp.append(np.asarray(pr))
+                ce.append(np.asarray(er))
+                cn.append(np.asarray(nb))
+            # trim THIS chunk's padding before accumulating: padded rows
+            # are mask-less (all-NaN) and must not shift later chunks
+            out_pred.append(np.concatenate(cp)[:n_real])
+            out_err.append(np.concatenate(ce)[:n_real])
+            out_nnb.append(np.concatenate(cn)[:n_real])
+        pred = np.concatenate(out_pred)
+        err = np.concatenate(out_err)
+        n_nb = np.concatenate(out_nnb)
+        return pred, err, n_nb
 
     def __call__(
         self,
@@ -306,6 +539,20 @@ class LocalPredictor:
         p_arr = jnp.asarray(
             pcoords.values if isinstance(pcoords, pd.DataFrame) else np.atleast_2d(pcoords)
         )
+        use_kd = not self.materialize_cov and (
+            self.neighbor_method == "kd"
+            or (
+                self.neighbor_method == "auto"
+                and max(self._sizes) > self.KD_AUTO_THRESHOLD
+            )
+        )
+        if use_kd:
+            pred, err, n_nb = self._predict_kd(
+                np.asarray(p_arr), max_dist, i, _cv
+            )
+            return self._format_output(
+                p_arr, pred, err, n_nb, max_dist, i, postprocess
+            )
         k_each = self._neighborhood_widths(np.asarray(p_arr), max_dist, _cv, i)
         n_valid = tuple(jnp.asarray(n, jnp.int32) for n in self._n_valid)
 
@@ -339,6 +586,11 @@ class LocalPredictor:
             # chunks share one compiled program (the last is padded).
             k_tot = max(sum(k_each), 1)
             chunk = max(16, _bucket_pow2(int(6.7e7 // (k_tot * k_tot))))
+            # second ceiling: each lane's neighborhood search materializes
+            # an n_data-wide distance row, so chunk x n_data must also be
+            # bounded (~0.6 GB of rows; several live copies under top_k)
+            n_data = max(self._sizes)
+            chunk = min(chunk, max(16, _bucket_pow2(int(1.5e8 // n_data))))
             chunk = min(chunk, _bucket_pow2(n_pred))
             pad = (-n_pred) % chunk
             pc_all = jnp.concatenate(
@@ -352,6 +604,11 @@ class LocalPredictor:
                 jnp.concatenate([p[k] for p in parts])[:n_pred]
                 for k in range(3)
             )
+        return self._format_output(
+            p_arr, pred, err, n_nb, max_dist, i, postprocess
+        )
+
+    def _format_output(self, p_arr, pred, err, n_nb, max_dist, i, postprocess):
         pred, err = np.asarray(pred), np.asarray(err)
         nan_mask = np.isnan(pred)
         if nan_mask.any():

@@ -114,6 +114,8 @@ def run_comparison(
     and predict the same 0.5-degree grid with both. Returns a dict with
     prediction frames, LOOCV frames, the merged error-ratio frame, and the
     fitted parameter sets."""
+    import time
+
     from cokriging_tpu.cov import MultivariateMatern
     from cokriging_tpu.data.grids import main_coords_array, prediction_coords
     from cokriging_tpu.estimate import VarioConfig, empirical_variograms
@@ -125,9 +127,20 @@ def run_comparison(
     # backend dtype policy: f32 on TPU (f64 is emulated there), f64 on CPU
     dtype = compute_dtype()
 
+    stage_s = {}
+
+    def _stage(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stage_s[name] = round(time.perf_counter() - t0, 2)
+        return out
+
     if df_xco2 is None or df_sif is None:
-        df_xco2, df_sif = synthesize_conus_months(
-            seed=seed, months=months, sif_coverage=sif_coverage
+        df_xco2, df_sif = _stage(
+            "synthesize",
+            lambda: synthesize_conus_months(
+                seed=seed, months=months, sif_coverage=sif_coverage
+            ),
         )
     main = main_coords_array()
     month_sif = apply_timedelta(timestamp, -1)
@@ -139,44 +152,74 @@ def run_comparison(
     )
 
     # ---- univariate SIF kriging (univariate_demo_sif.ipynb workflow) ----
-    mf_uni = MultiField.from_dataframes(
-        [df_sif], ["sif"], [["evi"]], timestamp=month_sif, timedeltas=[0],
-        main_coords=main,
-    ).astype(dtype)
-    est_uni = empirical_variograms(
-        mf_uni, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=1)
+    mf_uni = _stage(
+        "fields_uni",
+        lambda: MultiField.from_dataframes(
+            [df_sif], ["sif"], [["evi"]], timestamp=month_sif,
+            timedeltas=[0], main_coords=main,
+        ).astype(dtype),
     )
-    params_uni, fit_uni = fit_wls(
-        est_uni, init=moment_init(est_uni), method="adam", maxiter=maxiter
+    est_uni = _stage(
+        "variogram_uni",
+        lambda: empirical_variograms(
+            mf_uni, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=1)
+        ),
     )
-    krig = LocalPredictor(
-        MultivariateMatern(1, params_uni.astype(dtype)), mf_uni,
-        covariates=cov_pred,
+    params_uni, fit_uni = _stage(
+        "fit_uni",
+        lambda: fit_wls(
+            est_uni, init=moment_init(est_uni), method="adam", maxiter=maxiter
+        ),
     )
-    df_krig = krig(0, pcoords, max_dist=max_dist)
-    cv_krig = krig.cross_validation(0, max_dist=max_dist)
+    krig = _stage(
+        "predictor_uni",
+        lambda: LocalPredictor(
+            MultivariateMatern(1, params_uni.astype(dtype)), mf_uni,
+            covariates=cov_pred,
+        ),
+    )
+    df_krig = _stage("predict_uni", lambda: krig(0, pcoords, max_dist=max_dist))
+    cv_krig = _stage(
+        "loocv_uni", lambda: krig.cross_validation(0, max_dist=max_dist)
+    )
 
     # ---- bivariate XCO2+SIF cokriging (modelling_comparison cells 19-29) --
-    mf_biv = MultiField.from_dataframes(
-        [df_xco2, df_sif],
-        ["xco2", "sif"],
-        [["lon", "lat"], ["evi"]],
-        timestamp=timestamp,
-        timedeltas=[0, -1],
-        main_coords=main,
-    ).astype(dtype)
-    est_biv = empirical_variograms(
-        mf_biv, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=2)
+    mf_biv = _stage(
+        "fields_biv",
+        lambda: MultiField.from_dataframes(
+            [df_xco2, df_sif],
+            ["xco2", "sif"],
+            [["lon", "lat"], ["evi"]],
+            timestamp=timestamp,
+            timedeltas=[0, -1],
+            main_coords=main,
+        ).astype(dtype),
     )
-    params_biv, fit_biv = fit_wls(
-        est_biv, init=moment_init(est_biv), method="adam", maxiter=maxiter
+    est_biv = _stage(
+        "variogram_biv",
+        lambda: empirical_variograms(
+            mf_biv, VarioConfig(max_dist=1.5e3, n_bins=15, n_procs=2)
+        ),
     )
-    cokrig = LocalPredictor(
-        MultivariateMatern(2, params_biv.astype(dtype)), mf_biv,
-        covariates=cov_pred,
+    params_biv, fit_biv = _stage(
+        "fit_biv",
+        lambda: fit_wls(
+            est_biv, init=moment_init(est_biv), method="adam", maxiter=maxiter
+        ),
     )
-    df_cokrig = cokrig(1, pcoords, max_dist=max_dist)
-    cv_cokrig = cokrig.cross_validation(1, max_dist=max_dist)
+    cokrig = _stage(
+        "predictor_biv",
+        lambda: LocalPredictor(
+            MultivariateMatern(2, params_biv.astype(dtype)), mf_biv,
+            covariates=cov_pred,
+        ),
+    )
+    df_cokrig = _stage(
+        "predict_biv", lambda: cokrig(1, pcoords, max_dist=max_dist)
+    )
+    cv_cokrig = _stage(
+        "loocv_biv", lambda: cokrig.cross_validation(1, max_dist=max_dist)
+    )
 
     # ---- error-ratio frame (modelling_comparison cell 31) ----
     ratio = df_cokrig.merge(
@@ -208,6 +251,7 @@ def run_comparison(
         "params_biv": params_biv,
         "fit_uni": fit_uni,
         "fit_biv": fit_biv,
+        "stage_s": stage_s,
     }
 
 
@@ -236,7 +280,12 @@ def main():
 
         dfx, dfs = load_table(args.xco2), load_table(args.sif)
 
+    import time
+
+    t0 = time.perf_counter()
     out = run_comparison(timestamp=args.timestamp, df_xco2=dfx, df_sif=dfs)
+    t_total = time.perf_counter() - t0
+    print(f"stage wall-clock (s): {out['stage_s']}  total {t_total:.1f}s")
 
     print("univariate SIF fit:")
     print(out["params_uni"].to_dataframe().to_string(index=False))
@@ -245,6 +294,31 @@ def main():
     print(out["scores"].to_string(index=False))
     frac = float((out["ratio"]["ratio"].dropna() < 1).mean())
     print(f"error ratio < 1 at {100 * frac:.1f}% of prediction locations")
+
+    from cokriging_tpu.utils.results import record_manifest
+
+    record_manifest(
+        "modelling_comparison",
+        {
+            "timestamp": args.timestamp,
+            "n_pred_cells": int(len(out["df_cokrig"])),
+            "mspe": {
+                r.method: round(float(r.MSPE), 4)
+                for r in out["scores"].itertuples()
+            },
+            "mape": {
+                r.method: round(float(r.MAPE), 4)
+                for r in out["scores"].itertuples()
+            },
+            "err_ratio_lt1_frac": round(frac, 3),
+            "params_biv_flat": [
+                round(float(v), 4)
+                for v in np.asarray(out["params_biv"].to_flat())
+            ],
+            "stage_s": out["stage_s"],
+            "wall_total_s": round(t_total, 1),
+        },
+    )
 
     plot_variograms(out["fit_biv"], names=["xco2", "sif"]).savefig(
         OUT / "comparison_variograms.png", dpi=120

@@ -33,10 +33,12 @@ def main():
     import time
 
     _t = time.perf_counter()
+    stage_s = {}
 
     def stage(name):
         nonlocal _t
         now = time.perf_counter()
+        stage_s[name] = round(now - _t, 2)
         print(f"[{now - _t:6.1f}s] {name}", flush=True)
         _t = now
 
@@ -138,6 +140,28 @@ def main():
     print(f"LOOCV 95% coverage: {cover:.3f} (z std {z.std():.3f})")
     plot_cv_resid(cv, "Z0").savefig(OUT / "sim_loocv.png", dpi=120)
     stage("LOOCV + figures")
+
+    from cokriging_tpu.utils.results import record_manifest
+
+    record_manifest(
+        "simulation_experiment",
+        {
+            "truth_flat": TRUTH,
+            "wls_flat": [round(float(v), 4) for v in np.asarray(p_wls.to_flat())],
+            "nll_flat": [round(float(v), 4) for v in np.asarray(p_nll.to_flat())],
+            "vecchia_flat": [
+                round(float(v), 4) for v in np.asarray(p_vec.to_flat())
+            ],
+            "mspe": {
+                "cokriging": round(float(np.nanmean(diff**2)), 4),
+                "kriging": round(float(np.nanmean(diff_u**2)), 4),
+            },
+            "loocv_coverage_95": round(cover, 3),
+            "loocv_z_std": round(float(z.std()), 3),
+            "stage_s": stage_s,
+            "wall_total_s": round(sum(stage_s.values()), 1),
+        },
+    )
 
 
 if __name__ == "__main__":

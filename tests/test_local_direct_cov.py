@@ -56,6 +56,77 @@ def test_direct_cov_loocv_matches(setup):
     )
 
 
+def test_kd_neighbor_path_matches_device_search(setup):
+    """neighbor_method='kd' (host kd-tree query + gathered-window device
+    program — the large-N path) must reproduce the device masked-top-k
+    search exactly: same all-within-max_dist semantics, same covariance
+    conventions, for prediction and LOOCV on both processes."""
+    mod, grid, mf = setup
+    pc = grid.coords.values[::4]
+    lp_dev = LocalPredictor(mod, mf, materialize_cov=False)
+    lp_kd = LocalPredictor(
+        mod, mf, materialize_cov=False, neighbor_method="kd"
+    )
+    for i in (0, 1):
+        a = lp_dev(i, pc, max_dist=0.5, postprocess=False)
+        b = lp_kd(i, pc, max_dist=0.5, postprocess=False)
+        np.testing.assert_allclose(
+            b["pred"].values, a["pred"].values, rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            b["pred_err"].values, a["pred_err"].values, rtol=1e-8, atol=1e-7
+        )
+    cv_a = lp_dev.cross_validation(0, max_dist=0.5, postprocess=False)
+    cv_b = lp_kd.cross_validation(0, max_dist=0.5, postprocess=False)
+    np.testing.assert_allclose(
+        cv_b["pred"].values, cv_a["pred"].values, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_kd_neighbor_path_matches_geodesic():
+    """Geodesic coords: sphere-embedded kd radius filter must match the
+    haversine device search (chord monotonicity), including the
+    coastline-like case of an empty neighborhood (NaN lane parity)."""
+    import warnings
+
+    rng = np.random.default_rng(4)
+    lat = rng.uniform(25, 50, 120)
+    lon = rng.uniform(-120, -70, 120)
+    coords = np.column_stack([lat, lon])
+    vals = np.sin(np.deg2rad(lat) * 5) + 0.1 * rng.normal(size=120)
+    from cokriging_tpu.fields.field import Field, MultiField
+
+    f = Field.from_arrays(coords, vals, "Z0")
+    f.geodesic = True
+    mf = MultiField(fields=[f])
+    from cokriging_tpu.cov.params import ParamSpec
+
+    params = MaternParams.from_flat(
+        np.array([1.0, 1.5, 400.0, 0.05]), spec=ParamSpec(n_procs=1)
+    )
+    mod = MultivariateMatern(1, params)
+    pc = np.column_stack(
+        [rng.uniform(24, 51, 60), rng.uniform(-125, -65, 60)]
+    )
+    # one far-away location -> empty neighborhood on both paths
+    pc[0] = [70.0, -40.0]
+    lp_dev = LocalPredictor(mod, mf, materialize_cov=False)
+    lp_kd = LocalPredictor(
+        mod, mf, materialize_cov=False, neighbor_method="kd"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = lp_dev(0, pc, max_dist=500.0, postprocess=False)
+        b = lp_kd(0, pc, max_dist=500.0, postprocess=False)
+    np.testing.assert_array_equal(
+        np.isnan(a["pred"].values), np.isnan(b["pred"].values)
+    )
+    assert np.isnan(a["pred"].values[0])
+    np.testing.assert_allclose(
+        b["pred"].values, a["pred"].values, rtol=1e-10, atol=1e-12
+    )
+
+
 def test_direct_cov_sharded_matches(setup):
     from cokriging_tpu.parallel import make_mesh, sharded_local_predict
 

@@ -41,15 +41,21 @@ def build(cells):
 
 
 SETUP = '''
-# CPU/f64 pin for deterministic committed outputs; delete these two lines
-# to run on the ambient backend (TPU: f32 via utils.config.compute_dtype).
+# CPU/f64 pin for deterministic committed outputs (direct assignment: an
+# ambient JAX_PLATFORMS, e.g. a TPU tunnel, must not leak into the
+# committed artifact); set to "tpu" to run on an accelerator instead.
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 %matplotlib inline
 import sys, pathlib, warnings
 sys.path.insert(0, str(pathlib.Path.cwd().parent))
-warnings.filterwarnings("ignore")
+# silence only known-benign churn; science warnings (optimizer
+# non-convergence, thin variogram bins) must stay visible
+warnings.filterwarnings("ignore", category=DeprecationWarning)
+warnings.filterwarnings("ignore", category=FutureWarning)
 import numpy as np, pandas as pd
 '''
 
