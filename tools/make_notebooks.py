@@ -41,12 +41,15 @@ def build(cells):
 
 
 SETUP = '''
-# CPU/f64 pin for deterministic committed outputs (direct assignment: an
-# ambient JAX_PLATFORMS, e.g. a TPU tunnel, must not leak into the
-# committed artifact); set to "tpu" to run on an accelerator instead.
+# CPU/f64 pin for deterministic committed outputs. The env var alone is
+# NOT enough in environments whose sitecustomize registers an accelerator
+# platform at interpreter startup (the env is latched before this cell
+# runs), so the backend is forced through jax.config and then asserted.
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 %matplotlib inline
