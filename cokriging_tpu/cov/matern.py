@@ -406,6 +406,16 @@ def variogram_value(params: MaternParams, i: int, j: int, h, covariogram=False):
     return cross_semivariance(params, i, j, h)
 
 
+# jitted entry for host-facing curve evaluation: un-jitted K_nu on a
+# remote-TPU backend executes EAGERLY — hundreds of per-primitive
+# dispatches through the tunnel, ~40 s for one 100-point curve (measured
+# in the flagship comparison); one compiled (and persistently cached)
+# program per (i, j, kind) makes it milliseconds
+_variogram_value_jit = jax.jit(
+    variogram_value, static_argnums=(1, 2), static_argnames=("covariogram",)
+)
+
+
 def gathered_covariance(params: MaternParams, d, procs_a, procs_b=None):
     """Pointwise mixed-process covariance from gathered process ids.
 
@@ -724,10 +734,15 @@ class MultivariateMatern:
 
         cov = kind == "covariogram"
         frames = []
+        h = jnp.asarray(h)
         for i in range(self.n_procs):
             for j in range(self.n_procs):
                 if i <= j:
-                    v = np.asarray(variogram_value(self.params, i, j, h, cov))
+                    v = np.asarray(
+                        _variogram_value_jit(
+                            self.params, i, j, h, covariogram=cov
+                        )
+                    )
                     df = pd.DataFrame(
                         {"distance": np.asarray(h), "variogram": v, "i": i, "j": j}
                     )

@@ -443,7 +443,14 @@ def empirical_variograms_device(
     counts = np.asarray(counts)
     if not np.isfinite(centers).all():
         raise ValueError("No pairs within max_dist; cannot build variogram bins.")
-    means = np.where(counts > 0, np.asarray(sums) / np.maximum(counts, 1), np.nan)
+    sums = np.asarray(sums)
+    # keep the compute dtype: np.where with a python-float NaN promotes to
+    # f64 under legacy numpy scalar rules, and f64 bin means silently turn
+    # every downstream WLS fit program into emulated f64 on TPU (~40 s of
+    # recurring compile per fit in the flagship comparison)
+    means = np.where(
+        counts > 0, sums / np.maximum(counts, 1), np.nan
+    ).astype(sums.dtype)
     if (counts < 30).any():
         warnings.warn(
             "WARNING: Fewer than 30 pairs used for at least one bin in"
@@ -528,7 +535,10 @@ def empirical_variogram_pair(
         _BLOCK,
     )
     counts = np.asarray(counts)
-    means = np.where(counts > 0, np.asarray(sums) / np.maximum(counts, 1), np.nan)
+    sums = np.asarray(sums)
+    means = np.where(
+        counts > 0, sums / np.maximum(counts, 1), np.nan
+    ).astype(sums.dtype)
     return centers, means, counts
 
 

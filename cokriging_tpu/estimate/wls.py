@@ -311,7 +311,9 @@ def fit_wls(
         fitter = _cached_fitter(
             "adam", pairs, spec, maxiter, validity_weight=validity_weight
         )
-        x, cost = fitter(jnp.asarray(x0), centers, means, counts)
+        # x0 in the estimate's dtype: an f64 argument would compile a
+        # separate (emulated-f64-input) program variant on TPU
+        x, cost = fitter(jnp.asarray(x0, centers.dtype), centers, means, counts)
         params = MaternParams.from_flat(x, spec=spec)
         cost, n_iter = float(cost), maxiter
         success = bool(np.isfinite(cost))
@@ -336,10 +338,16 @@ def fit_wls(
 
 
 def _theoretical_df(params, estimate):
-    """Theoretical curves on a 100-point grid (src/model.py:330-331)."""
+    """Theoretical curves on a 100-point grid (src/model.py:330-331).
+
+    ``h`` is evaluated in the parameters' dtype: a float64 grid against
+    f32 fitted params promotes the whole K_nu evaluation to emulated f64
+    on TPU — tens of seconds of recurring compile for a convenience frame.
+    """
     from cokriging_tpu.cov.matern import MultivariateMatern
 
-    h = np.linspace(0, float(np.max(estimate.bin_centers)), 100)
+    dt = np.asarray(params.sigma).dtype
+    h = np.linspace(0, float(np.max(estimate.bin_centers)), 100, dtype=dt)
     return MultivariateMatern(params.n_procs, params).variograms(h)
 
 

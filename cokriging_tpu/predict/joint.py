@@ -159,6 +159,20 @@ def _conditional_sample_core(
     return pred, pred_err, samples
 
 
+@partial(jax.jit, static_argnames=("i", "geodesic"))
+def _verify_core(params, coords_tuple, pcoords, i, geodesic):
+    """Jitted PD probe of the bordered [pred, data] system. Eagerly this
+    assembled an npred^2 K_nu block per-primitive through the device
+    relay — 141 s of the simulation experiment's warm wall for a check
+    whose answer is one boolean."""
+    joint_cov, k, pred_cov = _joint_system(
+        params, coords_tuple, pcoords, i, geodesic
+    )
+    bordered = jnp.block([[pred_cov, k.T], [k, joint_cov]])
+    chol = jnp.linalg.cholesky(bordered)
+    return jnp.any(jnp.isnan(chol))
+
+
 @partial(jax.jit, static_argnames=("i", "geodesic", "n_sizes"))
 def _loocv_core(params, coords_tuple, values_tuple, i, geodesic, n_sizes):
     """All-at-once LOOCV for process i via the precision-matrix identity."""
@@ -257,10 +271,7 @@ class JointPredictor:
     def _verify_model(self, params, coords, pcoords, i, geodesic):
         """PD check of the bordered [pred, data] covariance by trial
         Cholesky (src/joint_prediction.py:260-274)."""
-        joint_cov, k, pred_cov = _joint_system(params, coords, pcoords, i, geodesic)
-        bordered = jnp.block([[pred_cov, k.T], [k, joint_cov]])
-        chol = jnp.linalg.cholesky(bordered)
-        if bool(jnp.any(jnp.isnan(chol))):
+        if bool(_verify_core(params, coords, pcoords, i, geodesic)):
             warnings.warn(
                 "Prediction joint covariance matrix is not positive definite;"
                 " model technically invalid."

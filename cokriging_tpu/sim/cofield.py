@@ -13,6 +13,7 @@ reference's draw sequence at p = 2 (``BivariateRandomField`` is the parity
 alias).
 """
 
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -23,6 +24,22 @@ import pandas as pd
 from cokriging_tpu.cov.matern import block_covariance
 from cokriging_tpu.kernels.distance import euclidean_matrix
 from cokriging_tpu.fields.field import Field, MultiField
+
+
+def _joint_cov_chol(params, dist, p):
+    """Joint pn x pn block covariance + its lower Cholesky.
+
+    Deliberately NOT one fused jit program: the dense simulator runs in
+    f64 (the zero-nugget system needs the conditioning), and a fused
+    emulated-f64 K_nu + Cholesky program takes the remote TPU compile
+    service many MINUTES — repeatedly, because entries that large don't
+    reliably persist in the compilation cache (measured 751 s cold /
+    334 s "warm" vs ~60 s for the eager path this replaces). The eager
+    build pays ~tens of small dispatches; the Cholesky is one primitive.
+    """
+    dists = [[dist] * p for _ in range(p)]
+    cmat = block_covariance(params, dists)
+    return cmat, jnp.linalg.cholesky(cmat)
 
 
 class CartesianGrid:
@@ -60,9 +77,9 @@ class MultivariateRandomField:
         self.grid = grid
         self.coords = grid.coords
         p = self.n_procs
-        dists = [[grid.dist] * p for _ in range(p)]
-        self.cmat = block_covariance(model.params, dists)
-        self.chol_lower = jnp.linalg.cholesky(self.cmat)
+        self.cmat, self.chol_lower = _joint_cov_chol(
+            model.params, grid.dist, p
+        )
         if bool(jnp.any(jnp.isnan(self.chol_lower))):
             raise np.linalg.LinAlgError(
                 "Joint simulation covariance is not positive definite."

@@ -38,10 +38,14 @@ def main():
     from cokriging_tpu.predict import LocalPredictor
 
     on_tpu = jax.default_backend() == "tpu"
-    n = 40_000 if on_tpu else 300         # per process
+    # 120k total observations: past the round-3 cap (40k/process), with
+    # the O(N log N) kd scaffold and the host-kd prediction path both
+    # engaged. The committed top-of-axis record (N = 10^6, converged fit
+    # + held-out coverage) is examples/million_point_workflow.py.
+    n = 60_000 if on_tpu else 300         # per process
     n_pred = 4_000 if on_tpu else 100
-    # with the gathered-pairs Pallas kernels one warm value+grad at 80k
-    # terms is ~3 s, so a converged 100+-iteration fit lands in minutes;
+    # with the gathered-pairs Pallas kernels one warm value+grad at 120k
+    # terms is ~4.5 s, so the converged fit lands in minutes;
     # accuracy studies use m sweeps (examples/vecchia_scaling.py)
     m = 20 if on_tpu else 12
     # f32 on TPU (the fast path, DESIGN.md §6): emulated f64 there is
@@ -80,7 +84,7 @@ def main():
 
     t0 = time.perf_counter()
     params, info = fit_vecchia(
-        mf, init=init, m=m, maxiter=150 if on_tpu else 40, main=False,
+        mf, init=init, m=m, maxiter=80 if on_tpu else 40, main=False,
         chunk=4096,
     )
     t_fit = time.perf_counter() - t0

@@ -56,16 +56,23 @@ def synthesize_conus_months(seed=0, months=6, sif_coverage=0.55):
     from cokriging_tpu.cov.matern import joint_covariance_from_coords
     from cokriging_tpu.cov.params import MaternParams
     from cokriging_tpu.data.grids import main_coords_array
+    from cokriging_tpu.utils.config import compute_dtype
 
+    # backend dtype: an f64 params/coords pair here would silently run the
+    # whole covariance assembly in EMULATED f64 on TPU (~50x slower;
+    # measured 153 s of the flagship's wall in this one call)
+    dtype = compute_dtype()
     rng = np.random.default_rng(seed)
-    coords = main_coords_array()
-    lat, lon = coords[:, 0], coords[:, 1]
+    coords = main_coords_array().astype(dtype)
+    lat, lon = coords[:, 0].astype(np.float64), coords[:, 1].astype(np.float64)
     n = len(coords)
-    truth = MaternParams.from_flat(np.array(TRUE_FLAT))
+    truth = MaternParams.from_flat(np.asarray(TRUE_FLAT, dtype))
     jc = np.asarray(
         joint_covariance_from_coords(truth, [jnp.asarray(coords)] * 2, True)
-    )
-    chol = np.linalg.cholesky(jc + 1e-9 * np.eye(2 * n))
+    ).astype(np.float64)
+    # jitter sized to the covariance dtype's rounding (f32 on TPU)
+    jit_eps = 1e-9 if np.dtype(dtype) == np.float64 else 1e-5
+    chol = np.linalg.cholesky(jc + jit_eps * np.eye(2 * n))
 
     times = pd.date_range("2019-01-01", periods=months + 1, freq="MS")
     evi = _evi_surface(lat, lon)
@@ -106,7 +113,7 @@ def run_comparison(
     sif_coverage=0.55,
     max_dist=1.0e3,
     pred_stride=1,
-    maxiter=400,
+    maxiter=600,
     df_xco2=None,
     df_sif=None,
 ):

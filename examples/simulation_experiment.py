@@ -50,7 +50,6 @@ def main():
     from cokriging_tpu.cov.params import ParamSpec
     from cokriging_tpu.estimate import VarioConfig, empirical_variograms
     from cokriging_tpu.estimate.wls import fit_wls
-    from cokriging_tpu.estimate.nll import fit_nll
     from cokriging_tpu.predict import JointPredictor
     from cokriging_tpu.sim import CartesianGrid, BivariateRandomField
     from cokriging_tpu.plot import (
@@ -61,6 +60,8 @@ def main():
         plot_variograms,
     )
 
+    from cokriging_tpu.utils.config import compute_dtype
+
     mod_truth = MultivariateMatern(params=MaternParams.from_flat(np.array(TRUTH)))
     grid = CartesianGrid(xcount=51, ycount=51)
     rf = BivariateRandomField(mod_truth, grid, seed=42)
@@ -68,6 +69,17 @@ def main():
     mf = rf.to_fields(samples)
     plot_samples(samples).savefig(OUT / "sim_samples.png", dpi=120)
     stage("simulate + sample")
+
+    # The zero-nugget 5202^2 simulation Cholesky needs f64 conditioning,
+    # but every stage after the draw runs in the backend's compute dtype
+    # (f32 on TPU — emulated f64 there made the truth-model cokriging
+    # stage alone take 136 s warm; f64 on CPU, where this is a no-op).
+    dtype = compute_dtype()
+    mf_f64 = mf  # the n=200 Vecchia demo fit keeps f64: f32 gradient
+    # noise at this tiny n stalls its rho axis (bench-scale f32 parity
+    # holds, tools/f32_parity.py — this is a small-sample effect)
+    mf = mf.astype(dtype)
+    mod_truth = MultivariateMatern(params=mod_truth.params.astype(dtype))
 
     # --- parameter recovery: WLS on empirical variograms ---
     spec = ParamSpec(
@@ -87,8 +99,13 @@ def main():
     print("WLS fit:  ", np.round(np.asarray(p_wls.to_flat()), 3).tolist())
     stage("WLS fit")
 
-    # --- parameter recovery: exact NLL ---
-    p_nll, info = fit_nll(mf, init=init, jitter=1e-8, maxiter=150)
+    # --- parameter recovery: exact NLL (one-dispatch on-device L-BFGS —
+    #     the host scipy driver pays a tunnel round trip per objective
+    #     eval, ~40 s at this size; parity between the two drivers is
+    #     pinned by tests/test_nll.py) ---
+    from cokriging_tpu.estimate.nll import fit_nll_device
+
+    p_nll, info = fit_nll_device(mf, init=init, jitter=1e-8, maxiter=150)
     print("NLL fit:  ", np.round(np.asarray(p_nll.to_flat()), 3).tolist())
     print("truth:    ", TRUTH, f"(NLL {info['nll']:.2f}, {info['n_iter']} iters)")
     stage("exact NLL fit")
@@ -99,7 +116,7 @@ def main():
 
     # m=15/maxiter=40 keep the demo quick; the estimator-quality sweeps
     # live in examples/vecchia_scaling.py and tests/test_vecchia.py
-    p_vec, info_v = fit_vecchia(mf, init=init, m=15, maxiter=40, main=False)
+    p_vec, info_v = fit_vecchia(mf_f64, init=init, m=15, maxiter=40, main=False)
     print(
         "Vecchia:  ",
         np.round(np.asarray(p_vec.to_flat()), 3).tolist(),
@@ -109,7 +126,7 @@ def main():
     stage("Vecchia fit")
 
     # --- prediction with the truth model ---
-    pcoords = grid.coords.values
+    pcoords = grid.coords.values.astype(dtype)
     jp = JointPredictor(mod_truth, mf)
     pred_biv = jp(0, pcoords, postprocess=False)
     plot_sim_pred(rf, pred_biv).savefig(OUT / "sim_prediction.png", dpi=120)
@@ -124,10 +141,11 @@ def main():
     mod_uni = MultivariateMatern(
         1,
         MaternParams.from_flat(
-            np.array([TRUTH[0], TRUTH[2], TRUTH[5], TRUTH[8]]), spec=spec1
+            np.asarray([TRUTH[0], TRUTH[2], TRUTH[5], TRUTH[8]], dtype),
+            spec=spec1,
         ),
     )
-    mf_uni = rf.to_fields(samples, i=0)
+    mf_uni = rf.to_fields(samples, i=0).astype(dtype)
     pred_uni = JointPredictor(mod_uni, mf_uni)(0, pcoords, postprocess=False)
     diff_u = truth_vals - pred_uni["pred"].values
     print(f"kriging   MSPE {np.nanmean(diff_u**2):.4f}  MAPE {np.nanmean(np.abs(diff_u)):.4f}")
