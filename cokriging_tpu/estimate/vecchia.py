@@ -578,7 +578,7 @@ def make_device_vecchia_lbfgs_fitter(
     chunk: int = 4096,
 ):
     """Fully on-device L-BFGS Vecchia-likelihood fitter: the shared
-    sigmoid-box optax driver (estimate.nll.sigmoid_box_lbfgs) over the
+    sigmoid-box driver (estimate.nll.sigmoid_box_lbfgs) over the
     Vecchia NLL in ONE `lax.while_loop` program (on TPU the host scipy
     driver pays a device-relay round trip per objective eval; this pays
     one dispatch for the whole fit).
@@ -606,6 +606,9 @@ def make_device_vecchia_lbfgs_fitter(
         )
 
     return fit
+
+
+_DEVICE_FITTER_CACHE = {}
 
 
 def fit_vecchia_device(
@@ -636,12 +639,16 @@ def fit_vecchia_device(
         coords, values, m=m, geodesic=mf.geodesic,
         measurement_var_list=mvl, chunk=chunk,
     )
-    fitter = jax.jit(
-        make_device_vecchia_lbfgs_fitter(
-            spec, lik.geodesic, maxiter=maxiter, chunk=chunk
+    key = (spec, lik.geodesic, maxiter, chunk)
+    if key not in _DEVICE_FITTER_CACHE:
+        # one jitted fitter per configuration: a fresh jax.jit wrapper
+        # per call would re-trace and re-load the executable every call
+        _DEVICE_FITTER_CACHE[key] = jax.jit(
+            make_device_vecchia_lbfgs_fitter(
+                spec, lik.geodesic, maxiter=maxiter, chunk=chunk
+            )
         )
-    )
-    x, nll, n_iter, conv = fitter(init.to_flat(), lik._win)
+    x, nll, n_iter, conv = _DEVICE_FITTER_CACHE[key](init.to_flat(), lik._win)
     params = MaternParams.from_flat(x, spec=spec)
     return params, {
         "nll": float(nll),

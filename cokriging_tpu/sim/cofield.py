@@ -13,7 +13,6 @@ reference's draw sequence at p = 2 (``BivariateRandomField`` is the parity
 alias).
 """
 
-from functools import partial
 from typing import List, Optional
 
 import jax
@@ -21,25 +20,58 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from cokriging_tpu.cov.matern import block_covariance
 from cokriging_tpu.kernels.distance import euclidean_matrix
 from cokriging_tpu.fields.field import Field, MultiField
+
+
+@jax.jit
+def _scaled_matern_block(amp, nugget, nu, len_scale, d):
+    """amp * Matern_corr(nu, len_scale, d) + nugget at d == 0, with the
+    parameters as TRACED scalars: one compiled program serves every
+    (i, j) block of every simulation at this (shape, dtype) — marginal
+    blocks pass amp = sigma_i^2 / nugget = tau_i^2, cross blocks
+    amp = rho sigma_i sigma_j / nugget = 0 (src/model.py:193-207)."""
+    from cokriging_tpu.cov.matern import matern_correlation
+
+    c = matern_correlation(nu, len_scale, d)
+    return amp * c + jnp.where(d == 0.0, nugget, jnp.zeros_like(nugget))
+
+
+_chol_jit = jax.jit(jnp.linalg.cholesky)
 
 
 def _joint_cov_chol(params, dist, p):
     """Joint pn x pn block covariance + its lower Cholesky.
 
-    Deliberately NOT one fused jit program: the dense simulator runs in
-    f64 (the zero-nugget system needs the conditioning), and a fused
-    emulated-f64 K_nu + Cholesky program takes the remote TPU compile
-    service many MINUTES — repeatedly, because entries that large don't
-    reliably persist in the compilation cache (measured 751 s cold /
-    334 s "warm" vs ~60 s for the eager path this replaces). The eager
-    build pays ~tens of small dispatches; the Cholesky is one primitive.
+    The simulator runs in f64 (the zero-nugget system needs the
+    conditioning), where TPU compile times are the hazard, not runtime:
+    ONE fused emulated-f64 K_nu + Cholesky program took the remote
+    compile service minutes (measured 751 s cold), and a fully EAGER
+    build paid ~60 s of per-primitive dispatch on every run. Middle
+    ground: one scalar-parameterized jitted Matern-block program (shared
+    by all (i, j) blocks and persistently cached across runs) plus the
+    jitted Cholesky primitive — two modest compiles the first time this
+    (grid, dtype) is ever seen, ~seconds on every run after.
     """
-    dists = [[dist] * p for _ in range(p)]
-    cmat = block_covariance(params, dists)
-    return cmat, jnp.linalg.cholesky(cmat)
+    blocks = {}
+    for i in range(p):
+        for j in range(i, p):
+            if i == j:
+                amp = params.sigma[i] ** 2
+                nug = params.nugget[i]
+            else:
+                amp = params.rho[i, j] * params.sigma[i] * params.sigma[j]
+                nug = jnp.zeros_like(params.nugget[i])
+            blocks[(i, j)] = _scaled_matern_block(
+                amp, nug, params.nu[i, j], params.len_scale[i, j], dist
+            )
+    cmat = jnp.block(
+        [
+            [blocks[(i, j)] if i <= j else blocks[(j, i)].T for j in range(p)]
+            for i in range(p)
+        ]
+    )
+    return cmat, _chol_jit(cmat)
 
 
 class CartesianGrid:
