@@ -315,7 +315,7 @@ def parametric_bootstrap(
     centers_b = np.tile(centers[None], (n_rep, 1, 1))
     counts_b = np.tile(counts[None], (n_rep, 1, 1))
     means_b = np.nan_to_num(means, nan=0.0)
-    flats, costs = fit_wls_batch_arrays(
+    flats, costs, _ = fit_wls_batch_arrays(
         x0, centers_b, means_b, counts_b, pairs, params.spec,
         maxiter=maxiter, mesh=mesh,
     )

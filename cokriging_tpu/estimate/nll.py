@@ -194,7 +194,7 @@ def _nll_u_value_and_grad(u, lo, hi, dists, z, spec, measurement_var, jitter):
 
 def sigmoid_box_lbfgs(
     raw, x0, lo, hi, maxiter: int = 200, tol: float = 1e-6,
-    memory_size: int = 10,
+    memory_size: int = 10, n_starts: int = 1,
 ):
     """Minimize ``raw(x)`` over the box [lo, hi] with an on-device L-BFGS
     (two-loop recursion + Armijo backtracking) under the sigmoid
@@ -209,20 +209,25 @@ def sigmoid_box_lbfgs(
     update duplicates it ~6x (value_and_grad_from_state, the
     linesearch's value_fn re-traces, the final re-evaluation). The
     compiled fitter was 53 MB and cost ~70 s of trace+compile per
-    process — for 0.2 s of actual device runtime. Folding the
-    backtracking line search INTO the outer while-loop body (one trial
-    point, one value+grad, accept-or-halve) leaves exactly one objective
-    instance; same optima (tests/test_nll.py pins agreement with the
-    host scipy driver), ~6x smaller program.
+    process — for 0.2 s of actual device runtime. Folding the weak-Wolfe
+    line search INTO the outer while-loop body (one trial point, one
+    value+grad, accept / bracket-and-interpolate) leaves exactly one
+    objective instance; same-or-better optima (tests/test_nll.py pins
+    agreement with the host scipy driver), ~6x smaller program.
 
     Gradients are cleaned (non-finite entries zeroed) so penalty-region
     probes cannot poison the curvature memory. A curvature pair is only
     stored when s.y > 0 (standard skip rule), keeping the implicit
-    inverse Hessian positive definite under Armijo-only acceptance.
+    inverse Hessian positive definite.
+
+    ``n_starts > 1`` adds deterministic box-fraction restarts mapped
+    through the same loop body (no program growth) and returns the best
+    basin — multimodal WLS costs need this to match scipy's basin.
 
     Returns (x, value, n_iter, converged) — n_iter counts objective
-    evaluations (accepts + backtracks); converged is True iff the loop
-    exited on the gradient tolerance at a genuine (non-penalty) point.
+    evaluations (accepts + line-search probes, summed over starts);
+    converged is True iff the winning start exited on the gradient
+    tolerance or the ftol test at a genuine (non-penalty) point.
     A cleaned gradient of exactly zero means the iterate is stranded on
     the non-PD penalty plateau (the penalty is constant, so its cleaned
     gradient is identically zero — a real optimum's float gradient is
@@ -233,10 +238,14 @@ def sigmoid_box_lbfgs(
     d = x0.shape[0]
     dt = x0.dtype
     c1 = jnp.asarray(1e-4, dt)
+    c2 = jnp.asarray(0.9, dt)
     # scipy L-BFGS-B's second stopping test (factr = 1e7): declare
-    # convergence when an accepted step's relative improvement is below
+    # convergence when accepted steps' relative improvement stays below
     # ftol — the gradient-norm test alone leaves stiff NLL surfaces
-    # (flat nu directions) polishing a converged optimum until maxiter
+    # (flat nu directions) polishing a converged optimum until maxiter.
+    # scipy's one-shot version assumes Wolfe-quality steps; Armijo-only
+    # acceptance can take a tiny backtracked step mid-run, so require
+    # THREE consecutive small-improvement accepts before stopping.
     ftol = jnp.asarray(
         2.2e-9 if jnp.dtype(dt) == jnp.float64 else 1e-6, dt
     )
@@ -247,10 +256,6 @@ def sigmoid_box_lbfgs(
     def value_and_clean_grad(u):
         v, g = jax.value_and_grad(raw_u)(u)
         return v, _clean_grad(g)
-
-    z0 = jnp.clip((x0 - lo) / (hi - lo), 1e-6, 1 - 1e-6)
-    u0 = jnp.log(z0) - jnp.log1p(-z0)
-    f0, g0 = value_and_clean_grad(u0)
 
     def direction(g, S, Y, rho, head):
         """L-BFGS two-loop recursion over the (masked, circular) history."""
@@ -280,22 +285,35 @@ def sigmoid_box_lbfgs(
     S0 = jnp.zeros((m, d), dt)
     Y0 = jnp.zeros((m, d), dt)
     rho0 = jnp.zeros((m,), dt)
-    # first direction: steepest descent, step bounded by 1/||g||
-    d0 = -g0
-    gnorm0 = jnp.sqrt(g0 @ g0)
-    alpha0 = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm0, 1e-12)).astype(dt)
 
-    # carry: u, f, g, S, Y, rho, head, dir, alpha, evals, accepts,
-    #        backtracks, fail, conv_f (ftol stop)
+    # carry: u, f, g, S, Y, rho, head, dir, alpha, alo, ahi, evals,
+    #        accepts, backtracks, fail, n_small (consecutive ftol-small)
     def body(carry):
-        (u, f, g, S, Y, rho, head, dvec, alpha, evals, accepts, bt,
-         fail, conv_f) = carry
+        (u, f, g, S, Y, rho, head, dvec, alpha, alo, ahi, evals, accepts,
+         bt, fail, n_small) = carry
         ut = u + alpha * dvec
         ft, gt = value_and_clean_grad(ut)  # the ONE objective instance
         slope = g @ dvec
-        accept = ft <= f + c1 * alpha * slope
-        conv_f_n = conv_f | (
-            accept & ((f - ft) <= ftol * jnp.maximum(jnp.abs(ft), 1.0))
+        armijo = ft <= f + c1 * alpha * slope
+        # weak Wolfe curvature condition: the trial slope must have
+        # flattened (slope < 0, c2 = 0.9). An Armijo-only rule can accept
+        # arbitrarily short steps whose (s, y) pairs are skipped (s.y <=
+        # 0), starving the curvature memory and stalling the fit far from
+        # the optimum. Steps are searched by Lewis-Overton bracketing
+        # bisection (armijo fail -> shrink ahi; curvature fail -> grow
+        # alo, doubling while unbracketed), which provably lands in the
+        # weak-Wolfe window; after 20 probes without an accept, any
+        # Armijo point is taken (the s.y > 0 skip rule below still
+        # protects the curvature memory).
+        curv_ok = gt @ dvec >= c2 * slope
+        accept_good = armijo & curv_ok
+        accept = armijo & (curv_ok | (bt >= 20))
+        small = (f - ft) <= ftol * jnp.maximum(jnp.abs(ft), 1.0)
+        # only clean Wolfe accepts count toward the ftol stop: a forced
+        # accept (20 probes without a Wolfe point) makes tiny progress by
+        # construction and must not masquerade as convergence
+        n_small_n = jnp.where(
+            accept_good, jnp.where(small, n_small + 1, 0), n_small
         )
 
         # --- accept branch state ---
@@ -312,38 +330,101 @@ def sigmoid_box_lbfgs(
         head_n = jnp.where(store, head + 1, head)
         d_acc = direction(gt, S_n, Y_n, rho_n, head_n)
 
-        # --- reject: halve the step; >30 halvings = line-search failure ---
+        # --- reject: bracketing bisection; >40 probes without an
+        # --- Armijo point = line-search failure
         u_n = jnp.where(accept, ut, u)
         f_n = jnp.where(accept, ft, f)
         g_n = jnp.where(accept, gt, g)
         dvec_n = jnp.where(accept, d_acc, dvec)
-        alpha_n = jnp.where(accept, jnp.asarray(1.0, dt), 0.5 * alpha)
+        alo_n = jnp.where(accept | ~armijo, alo, alpha)   # curv fail grows lo
+        ahi_n = jnp.where(accept | armijo, ahi, alpha)    # armijo fail caps hi
+        # quadratic-interpolation candidate from (f, slope, ft) — the
+        # minimizer of the 1-d quadratic through the three facts; far
+        # better steps than blind midpoints. Safeguarded into the open
+        # bracket; falls back to bisection when degenerate.
+        denom = 2.0 * (ft - f - slope * alpha)
+        alpha_q = jnp.where(
+            denom > 0.0, -slope * alpha * alpha / jnp.maximum(denom, 1e-30),
+            0.5 * (alo_n + jnp.minimum(ahi_n, 2.0 * alpha)),
+        )
+        span_lo = alo_n + 0.1 * (jnp.minimum(ahi_n, 4.0 * alpha) - alo_n)
+        span_hi = alo_n + 0.9 * (jnp.minimum(ahi_n, 4.0 * alpha) - alo_n)
+        alpha_q = jnp.clip(alpha_q, span_lo, span_hi)
+        alpha_next = jnp.where(
+            jnp.isfinite(ahi_n), alpha_q, 2.0 * alpha
+        )
+        alpha_n = jnp.where(accept, jnp.asarray(1.0, dt), alpha_next)
+        alo_n = jnp.where(accept, jnp.asarray(0.0, dt), alo_n)
+        ahi_n = jnp.where(accept, jnp.asarray(jnp.inf, dt), ahi_n)
         bt_n = jnp.where(accept, 0, bt + 1)
-        fail_n = fail | (~accept & (bt_n > 30))
+        fail_n = fail | (~accept & (bt_n > 40))
         return (
             u_n, f_n, g_n,
             jnp.where(accept, S_n, S), jnp.where(accept, Y_n, Y),
             jnp.where(accept, rho_n, rho), jnp.where(accept, head_n, head),
-            dvec_n, alpha_n, evals + 1,
-            accepts + accept.astype(jnp.int32), bt_n, fail_n, conv_f_n,
+            dvec_n, alpha_n, alo_n, ahi_n, evals + 1,
+            accepts + accept.astype(jnp.int32), bt_n, fail_n, n_small_n,
         )
 
     def continuing(carry):
-        _, _, g, *_, evals, _, _, fail, conv_f = carry
+        _, _, g, *_, evals, _, _, fail, n_small = carry
         err = jnp.sqrt(g @ g)
-        return (evals < maxiter) & (err >= tol) & (~fail) & (~conv_f)
+        return (evals < maxiter) & (err >= tol) & (~fail) & (n_small < 3)
 
-    init = (
-        u0, f0, g0, S0, Y0, rho0, jnp.int32(0), d0, alpha0,
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.asarray(False),
-        jnp.asarray(False),
-    )
-    u, v, g, *_, evals, accepts, _, fail, conv_f = jax.lax.while_loop(
-        continuing, body, init
-    )
-    err = jnp.sqrt(g @ g)
-    genuine = (err > 0.0) & jnp.isfinite(v) & (~fail)
-    converged = ((err < tol) | conv_f) & genuine
+    def run_one(u0):
+        f0, g0 = value_and_clean_grad(u0)
+        d0 = -g0
+        gnorm0 = jnp.sqrt(g0 @ g0)
+        alpha0 = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm0, 1e-12)).astype(dt)
+        init = (
+            u0, f0, g0, S0, Y0, rho0, jnp.int32(0), d0, alpha0,
+            jnp.asarray(0.0, dt), jnp.asarray(jnp.inf, dt),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.asarray(False),
+            jnp.int32(0),
+        )
+        u, v, g, *_, evals, accepts, _, fail, n_small = jax.lax.while_loop(
+            continuing, body, init
+        )
+        err = jnp.sqrt(g @ g)
+        genuine = (err > 0.0) & jnp.isfinite(v) & (~fail)
+        converged = ((err < tol) | (n_small >= 3)) & genuine
+        return u, v, evals + 1, converged
+
+    def to_u(x):
+        z = jnp.clip((x - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+        return jnp.log(z) - jnp.log1p(-z)
+
+    if n_starts <= 1:
+        u, v, evals, converged = run_one(to_u(x0))
+    else:
+        # Deterministic multistart against multimodal cost surfaces (WLS
+        # costs routinely have a secondary basin ~100x above the real
+        # optimum): the caller's x0 plus (n_starts - 1) box-fraction
+        # starts, run sequentially through lax.map — the loop body (and
+        # its single objective instance) is shared, so program size does
+        # not grow with n_starts.
+        fr = jnp.linspace(0.25, 0.75, n_starts - 1, dtype=dt)
+        xs = jnp.concatenate(
+            [jnp.asarray(x0, dt)[None], lo + fr[:, None] * (hi - lo)]
+        )
+        u_all, v_all, e_all, c_all = jax.lax.map(run_one, jax.vmap(to_u)(xs))
+        # prefer the caller's start unless a restart is better by a REAL
+        # margin (0.1% relative): near-ties between basins would otherwise
+        # let reduction-order noise (e.g. sharded vs single-device
+        # layouts) flip the winner and return a different parameter
+        # vector for the same problem
+        v0 = v_all[0]
+        margin = jnp.maximum(1e-3 * jnp.abs(v0), 1e-6)
+        thresh = jnp.where(jnp.isfinite(v0), v0 - margin, jnp.inf)
+        beats = jnp.isfinite(v_all) & (v_all < thresh)
+        k = jnp.where(
+            jnp.any(beats),
+            jnp.argmin(jnp.where(beats, v_all, jnp.inf)),
+            0,
+        )
+        u, v = u_all[k], v_all[k]
+        evals = jnp.sum(e_all)
+        converged = c_all[k]
     return lo + (hi - lo) * jax.nn.sigmoid(u), v, evals, converged
 
 

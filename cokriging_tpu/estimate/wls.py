@@ -302,11 +302,11 @@ def fit_wls(
         )
         cost, n_iter, success = float(res.fun), int(res.nit), bool(res.success)
     elif method == "jax":
-        x, cost, n_iter = _fit_lbfgs_box(
+        x, cost, n_iter, success = _fit_lbfgs_box(
             x0, centers, means, counts, pairs, spec, maxiter
         )
         params = MaternParams.from_flat(x, spec=spec)
-        success = bool(np.isfinite(cost))
+        success = success and bool(np.isfinite(cost))
     elif method == "adam":
         fitter = _cached_fitter(
             "adam", pairs, spec, maxiter, validity_weight=validity_weight
@@ -412,60 +412,59 @@ def make_device_adam_fitter(pairs, spec, maxiter=800, lr=0.3, validity_weight=0.
     return fit
 
 
-def make_device_wls_fitter(pairs, spec, maxiter=300):
-    """Build a jit/vmap-able fitter: (x0, centers, means, counts) -> (x, cost).
+def make_device_wls_fitter(pairs, spec, maxiter=300, validity_weight=0.0):
+    """Build a jit/vmap-able fitter:
+    (x0, centers, means, counts) -> (x, cost, n_evals, converged).
 
-    The box constraint is enforced by a sigmoid reparameterization, and the
-    unconstrained problem is solved with optax L-BFGS entirely on device —
-    this is the path that lets pjit fan a fit over every month in a dataset
-    at once.
+    The box constraint is enforced by a sigmoid reparameterization and
+    the unconstrained problem is solved with the shared single-instance
+    L-BFGS driver (estimate.nll.sigmoid_box_lbfgs: two-loop recursion +
+    Armijo backtracking folded into one while-loop body) entirely on
+    device — this is the path that lets pjit fan a fit over every month
+    in a dataset at once, and the driver's one-objective-instance
+    property keeps the vmapped program compile-light (the previous optax
+    zoom-linesearch build embedded the K_nu cost graph ~6x).
+
+    ``validity_weight`` adds the Cauchy-Schwarz validity_penalty to the
+    cost (scaled by total pair count, like the adam fitter) — thin
+    monthly estimates otherwise happily minimize at |rho| = 1, where the
+    joint model is singular and every downstream prediction NaNs out.
     """
-    import optax
+    from cokriging_tpu.estimate.nll import sigmoid_box_lbfgs
 
     lo_np, hi_np = spec.bounds()
-    lo = jnp.asarray(lo_np)
-    hi = jnp.asarray(hi_np)
-
-    def objective(u, centers, means, counts):
-        x = _box_forward(u, lo, hi)
-        return composite_wls_cost(x, centers, means, counts, pairs, spec)
-
-    opt = optax.lbfgs()
 
     def fit(x0, centers, means, counts):
-        u0 = _box_inverse(x0, lo, hi)
+        # run the whole fit in the estimate's dtype (f32 on TPU halves
+        # the sequential K_nu loop trips bounding per-step wall clock)
+        dt = centers.dtype
+        lo = jnp.asarray(lo_np, dt)
+        hi = jnp.asarray(hi_np, dt)
 
-        value_and_grad = optax.value_and_grad_from_state(
-            lambda u: objective(u, centers, means, counts)
+        def raw(x):
+            cost = composite_wls_cost(x, centers, means, counts, pairs, spec)
+            if validity_weight:
+                params_x = MaternParams.from_flat(x, spec=spec)
+                cost = cost + validity_weight * jnp.sum(counts) * (
+                    validity_penalty(params_x, centers)
+                )
+            return cost
+
+        # 3 deterministic starts: WLS cost surfaces are multimodal (a
+        # secondary basin ~100x above the optimum catches default and
+        # moment inits on oracle problems); the box-fraction restarts
+        # reuse the same compiled loop body
+        return sigmoid_box_lbfgs(
+            raw, jnp.asarray(x0, dt), lo, hi, maxiter=maxiter, n_starts=3
         )
-
-        def step(carry, _):
-            u, state = carry
-            value, grad = value_and_grad(u, state=state)
-            updates, state = opt.update(
-                grad,
-                state,
-                u,
-                value=value,
-                grad=grad,
-                value_fn=lambda v: objective(v, centers, means, counts),
-            )
-            u = optax.apply_updates(u, updates)
-            return (u, state), value
-
-        (u, _), costs = jax.lax.scan(
-            step, (u0, opt.init(u0)), None, length=maxiter
-        )
-        x = _box_forward(u, lo, hi)
-        return x, objective(u, centers, means, counts)
 
     return fit
 
 
 def _fit_lbfgs_box(x0, centers, means, counts, pairs, spec, maxiter):
     fitter = _cached_fitter("lbfgs", pairs, spec, maxiter)
-    x, cost = fitter(jnp.asarray(x0), centers, means, counts)
-    return x, float(cost), maxiter
+    x, cost, n_evals, conv = fitter(jnp.asarray(x0), centers, means, counts)
+    return x, float(cost), int(n_evals), bool(conv)
 
 
 def fit_wls_batch(
@@ -473,6 +472,8 @@ def fit_wls_batch(
     init: Optional[MaternParams] = None,
     maxiter: int = 300,
     mesh=None,
+    validity_weight: float = 0.0,
+    per_month_init: bool = False,
 ):
     """Fit MANY months/bands at once: one compiled on-device L-BFGS program
     vmapped over the batch and (optionally) sharded over a device mesh.
@@ -484,9 +485,16 @@ def fit_wls_batch(
         estimates: list of EmpiricalVariogram with identical pairs/n_bins.
         init: shared initial MaternParams (also fixes spec/bounds).
         mesh: optional jax.sharding.Mesh; batch axis is sharded over it.
+        validity_weight: Cauchy-Schwarz penalty weight (see
+            make_device_wls_fitter) — recommended > 0 for thin monthly
+            estimates, whose raw WLS optimum often sits at |rho| = 1.
+        per_month_init: start each month from its own moment_init
+            instead of the shared ``init`` (better-conditioned starts on
+            long heterogeneous records).
 
     Returns:
-        (list of MaternParams, costs ndarray)
+        (list of MaternParams, costs ndarray). Per-month convergence
+        flags ride on ``fit_wls_batch.last_converged`` (same order).
     """
     if not estimates:
         return [], np.zeros(0)
@@ -502,16 +510,24 @@ def fit_wls_batch(
     counts = np.stack([e.bin_counts for e in estimates])
     # zero-count bins are excluded by the cost mask; NaN means zeroed above
     B = len(estimates)
-    x0 = jnp.tile(init.to_flat()[None], (B, 1))
+    if per_month_init:
+        x0 = jnp.stack(
+            [moment_init(e, spec=spec).to_flat() for e in estimates]
+        )
+    else:
+        x0 = jnp.tile(init.to_flat()[None], (B, 1))
 
-    xs, costs = fit_wls_batch_arrays(
-        x0, centers, means, counts, pairs, spec, maxiter=maxiter, mesh=mesh
+    xs, costs, conv = fit_wls_batch_arrays(
+        x0, centers, means, counts, pairs, spec, maxiter=maxiter, mesh=mesh,
+        validity_weight=validity_weight,
     )
+    fit_wls_batch.last_converged = conv
     return [MaternParams.from_flat(jnp.asarray(x), spec=spec) for x in xs], costs
 
 
 def fit_wls_batch_arrays(
-    x0, centers, means, counts, pairs, spec, maxiter: int = 300, mesh=None
+    x0, centers, means, counts, pairs, spec, maxiter: int = 300, mesh=None,
+    validity_weight: float = 0.0,
 ):
     """Array-level core of ``fit_wls_batch``: one vmapped on-device L-BFGS
     program over a batch of (centers, means, counts) variogram stacks.
@@ -527,15 +543,21 @@ def fit_wls_batch_arrays(
         mesh: optional jax.sharding.Mesh; batch axis sharded over it.
 
     Returns:
-        (xs, costs): (B, n_params) fitted flats and (B,) final costs.
+        (xs, costs, converged): (B, n_params) fitted flats, (B,) final
+        costs, (B,) bool convergence flags (the driver's own stopping
+        test, scipy L-BFGS-B semantics).
     """
     pairs = tuple(pairs)
     B = int(x0.shape[0])
 
-    batch_key = ("lbfgs_batch", pairs, spec, maxiter)
+    batch_key = ("lbfgs_batch", pairs, spec, maxiter, validity_weight)
     if batch_key not in _FITTER_CACHE:
         _FITTER_CACHE[batch_key] = jax.jit(
-            jax.vmap(make_device_wls_fitter(pairs, spec, maxiter))
+            jax.vmap(
+                make_device_wls_fitter(
+                    pairs, spec, maxiter, validity_weight=validity_weight
+                )
+            )
         )
     batched = _FITTER_CACHE[batch_key]
 
@@ -557,5 +579,5 @@ def fit_wls_batch_arrays(
             jax.device_put(a, NamedSharding(mesh, P(axis)))
             for a in args
         ]
-    xs, costs = batched(*args)
-    return np.asarray(xs)[:B], np.asarray(costs)[:B]
+    xs, costs, _, conv = batched(*args)
+    return np.asarray(xs)[:B], np.asarray(costs)[:B], np.asarray(conv)[:B]

@@ -100,20 +100,35 @@ def main():
     # ------------------------------------------------------------------
     # ONE batched fit over the whole record (mesh-sharded when available)
     # ------------------------------------------------------------------
+    from cokriging_tpu.cov.params import ParamSpec
     from cokriging_tpu.parallel import make_mesh
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # Thin monthly estimates (~55 SIF cells at 0.55 coverage) often have
+    # their raw composite-WLS minimum AT |rho| = 1, where the joint model
+    # is singular and every downstream prediction NaNs out — the
+    # reference's unchecked-validity failure mode (its cs_check is an
+    # unimplemented stub, src/model.py:172, 336-343). The record workflow
+    # therefore (a) bounds rho inside the singular boundary, (b) adds the
+    # Cauchy-Schwarz validity penalty, and (c) starts each month from its
+    # own moment init; months that still land on the rho bound are
+    # reported in the manifest rather than silently mapped.
+    spec = ParamSpec(n_procs=2, rho_bounds=(-0.95, 0.95))
     t0 = time.perf_counter()
     params_list, costs = fit_wls_batch(
-        ests, init=moment_init(ests[0]), maxiter=300, mesh=mesh
+        ests, init=moment_init(ests[0], spec=spec), maxiter=300, mesh=mesh,
+        validity_weight=1.0, per_month_init=True,
     )
+    conv = np.asarray(fit_wls_batch.last_converged)
     wall["batched_fit"] = time.perf_counter() - t0
     rhos = np.array([float(p.rho[0, 1]) for p in params_list])
+    n_pegged = int((np.abs(rhos) > 0.94).sum())
     print(
         f"batched WLS fit: {len(params_list)} months in one dispatch, "
         f"{wall['batched_fit']:.1f}s; rho range "
         f"[{rhos.min():+.2f}, {rhos.max():+.2f}], "
-        f"median cost {np.median(costs):.1f}"
+        f"median cost {np.median(costs):.1f}, "
+        f"{conv.sum()}/{len(conv)} converged, {n_pegged} on the rho bound"
     )
 
     # ------------------------------------------------------------------
@@ -167,6 +182,8 @@ def main():
             "record_span": [used_stamps[0], used_stamps[-1]],
             "mesh_devices": int(mesh.devices.size) if mesh else 1,
             "rho_track": [round(float(r), 3) for r in rhos],
+            "n_converged": int(conv.sum()),
+            "n_rho_bound": n_pegged,
             "median_cost": round(float(np.median(costs)), 2),
             "pred_months": list(preds.keys()),
             "pred_cells_per_month": int(len(pcoords)),
