@@ -71,61 +71,6 @@ def tri_inv_lower(L, block: int = 512):
 
 
 @partial(jax.jit, static_argnames=("block",))
-def chol_lower_blocked(A, block: int = 1024):
-    """Lower Cholesky of one large SPD matrix by right-looking blocked
-    factorization with statically-shrinking trailing shapes.
-
-    Per panel k (python-unrolled, ~n/block steps): factor the (block,
-    block) diagonal block with XLA's cholesky, turn the panel solve into
-    one (rem, block) triangular solve, and apply the trailing Schur update
-    as a single MXU matmul at ``Precision.HIGHEST`` (the default f32 path
-    rides the MXU's bf16 rounding — unacceptable for a factor whose
-    diagonal feeds a 2*sum(log diag) log-determinant). Flop count is the
-    ideal n^3/3, all of it in MXU-sized matmuls (compare against XLA's own
-    TPU cholesky expander with tools/bench_chol.py).
-
-    NaN semantics match ``jnp.linalg.cholesky``: a non-PD pivot makes the
-    diagonal-block factor NaN and the NaNs propagate into every later
-    panel through the Schur update.
-
-    Args:
-        A: (n, n) SPD matrix (only the lower triangle is referenced by the
-            diagonal-block factorizations; the Schur update uses the full
-            symmetric matrix).
-        block: panel width (multiple of 128 keeps the MXU happy).
-
-    Returns:
-        (n, n) lower-triangular factor, same dtype.
-    """
-    n = A.shape[0]
-    pad = (-n) % block
-    if pad:
-        # identity tail keeps the padded matrix SPD; its factor is
-        # block-diagonal [L, I] and the pad is sliced off at the end
-        eye_tail = (jnp.arange(n + pad) >= n).astype(A.dtype)
-        A = jnp.pad(A, ((0, pad), (0, pad))) + jnp.diag(eye_tail)
-    m = n + pad
-    nb = m // block
-
-    S = A
-    col_blocks = []
-    for k in range(nb):
-        b = block
-        Lkk = jnp.linalg.cholesky(S[:b, :b])
-        if k + 1 < nb:
-            # panel: P = S[b:, :b] @ Lkk^-T  (one wide triangular solve)
-            P = jax.scipy.linalg.solve_triangular(
-                Lkk, S[b:, :b].T, lower=True
-            ).T
-            S = S[b:, b:] - jnp.matmul(P, P.T, precision=_HIGHEST)
-            col = jnp.concatenate([Lkk, P], axis=0)  # (m - k*b, b)
-        else:
-            col = Lkk
-        col_blocks.append(jnp.pad(col, ((k * b, 0), (0, 0))))
-    L = jnp.concatenate(col_blocks, axis=1)
-    return jnp.tril(L[:n, :n] if pad else L)
-
-
 def spd_inverse_from_chol(chol, block: int = 512):
     """C^-1 = L^-T L^-1 from a lower Cholesky factor, via the blocked
     triangular inverse (one extra MXU matmul; avoids the square-RHS

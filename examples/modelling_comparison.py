@@ -327,19 +327,23 @@ def main():
         },
     )
 
-    plot_variograms(out["fit_biv"], names=["xco2", "sif"]).savefig(
-        OUT / "comparison_variograms.png", dpi=120
-    )
-    plot_err_ratio(
+    from cokriging_tpu.utils.results import save_figure
+
+    fig_vario = plot_variograms(out["fit_biv"], names=["xco2", "sif"])
+    fig_vario.savefig(OUT / "comparison_variograms.png", dpi=120)
+    save_figure(fig_vario, "comparison_variograms")
+    fig_ratio = plot_err_ratio(
         out["df_cokrig"], out["df_krig"], coords=("lat", "lon"),
         coastlines=True,
-    ).savefig(OUT / "comparison_err_ratio.png", dpi=120)
+    )
+    fig_ratio.savefig(OUT / "comparison_err_ratio.png", dpi=120)
+    save_figure(fig_ratio, "comparison_err_ratio")
     plot_cv_resid(out["cv_krig"], name="Kriging").savefig(
         OUT / "comparison_cv_kriging.png", dpi=120
     )
-    plot_cv_resid(out["cv_cokrig"], name="Cokriging").savefig(
-        OUT / "comparison_cv_cokriging.png", dpi=120
-    )
+    fig_cv = plot_cv_resid(out["cv_cokrig"], name="Cokriging")
+    fig_cv.savefig(OUT / "comparison_cv_cokriging.png", dpi=120)
+    save_figure(fig_cv, "comparison_cv_cokriging")
     for col, fname in [("pred", "comparison_cokrig_pred.png"),
                        ("pred_err", "comparison_cokrig_err.png")]:
         plot_df(

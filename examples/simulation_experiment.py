@@ -67,7 +67,8 @@ def main():
     rf = BivariateRandomField(mod_truth, grid, seed=42)
     samples = rf.sample(size=100, epsilon=[EPS, EPS], seed=7)
     mf = rf.to_fields(samples)
-    plot_samples(samples).savefig(OUT / "sim_samples.png", dpi=120)
+    fig_samples = plot_samples(samples)
+    fig_samples.savefig(OUT / "sim_samples.png", dpi=120)
     stage("simulate + sample")
 
     # The zero-nugget 5202^2 simulation Cholesky needs f64 conditioning,
@@ -129,7 +130,12 @@ def main():
     pcoords = grid.coords.values.astype(dtype)
     jp = JointPredictor(mod_truth, mf)
     pred_biv = jp(0, pcoords, postprocess=False)
-    plot_sim_pred(rf, pred_biv).savefig(OUT / "sim_prediction.png", dpi=120)
+    from cokriging_tpu.utils.results import save_figure
+
+    save_figure(fig_samples, "sim_samples")
+    fig_pred = plot_sim_pred(rf, pred_biv)
+    fig_pred.savefig(OUT / "sim_prediction.png", dpi=120)
+    save_figure(fig_pred, "sim_prediction")
 
     truth_vals = rf.fields[0]["value"].values
     diff = truth_vals - pred_biv["pred"].values
@@ -149,7 +155,9 @@ def main():
     pred_uni = JointPredictor(mod_uni, mf_uni)(0, pcoords, postprocess=False)
     diff_u = truth_vals - pred_uni["pred"].values
     print(f"kriging   MSPE {np.nanmean(diff_u**2):.4f}  MAPE {np.nanmean(np.abs(diff_u)):.4f}")
-    plot_err_ratio(pred_biv, pred_uni).savefig(OUT / "sim_err_ratio.png", dpi=120)
+    fig_er = plot_err_ratio(pred_biv, pred_uni)
+    fig_er.savefig(OUT / "sim_err_ratio.png", dpi=120)
+    save_figure(fig_er, "sim_err_ratio")
 
     # --- LOOCV coverage ---
     cv = jp.cross_validation(0, postprocess=False)

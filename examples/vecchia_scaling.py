@@ -58,6 +58,7 @@ def main():
     rng = np.random.default_rng(0)
     print(f"backend={jax.default_backend()} dtype={np.dtype(dtype).name} m={m}")
     print(f"{'N_total':>9} {'build_s':>8} {'eval_s':>8} {'terms/s':>10}")
+    rows = []
     for n_total in sizes:
         n = n_total // 2
         lat = rng.uniform(24.0, 50.0, n).astype(dtype)
@@ -91,6 +92,46 @@ def main():
             f"{n_total / t_eval:>10.0f}"
         )
         assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+        rows.append(
+            {
+                "n_total": n_total,
+                "build_s": round(t_build, 2),
+                "eval_s": round(t_eval, 3),
+                "terms_per_s": round(n_total / t_eval),
+            }
+        )
+
+    from cokriging_tpu.utils.results import record_manifest, save_figure
+
+    record_manifest("vecchia_scaling", {"m": m, "rows": rows})
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ns = [r["n_total"] for r in rows]
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(9.0, 3.4))
+    ax0.loglog(ns, [r["eval_s"] for r in rows], "o-", label="NLL value+grad")
+    ax0.loglog(ns, [r["build_s"] for r in rows], "s--", label="scaffold build")
+    # linear-in-N guide anchored at the first measured eval
+    ax0.loglog(
+        ns,
+        [rows[0]["eval_s"] * n / ns[0] for n in ns],
+        ":",
+        color="gray",
+        label="O(N)",
+    )
+    ax0.set_xlabel("observations N")
+    ax0.set_ylabel("seconds")
+    ax0.legend(fontsize=8)
+    ax0.set_title(f"Vecchia scaling (m={m})")
+    ax1.semilogx(ns, [r["terms_per_s"] / 1e3 for r in rows], "o-")
+    ax1.set_xlabel("observations N")
+    ax1.set_ylabel("k terms / s")
+    ax1.set_title("throughput")
+    fig.tight_layout()
+    save_figure(fig, "vecchia_scaling")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,6 @@ from cokriging_tpu.kernels.linalg import (
     tri_inv_lower,
     spd_inverse_from_chol,
     blocked_spd_solve,
-    chol_lower_blocked,
 )
 
 
@@ -67,22 +66,6 @@ def test_blocked_spd_solve_vmap_batch():
             atol=1e-10,
         )
     assert np.isfinite(np.asarray(ds)).all()
-
-
-def test_chol_lower_blocked_matches_numpy():
-    # exact multiple of block, padded, and smaller-than-block sizes
-    for n, block in [(256, 128), (300, 128), (90, 128), (384, 128)]:
-        a = _random_spd(n, seed=200 + n)
-        got = np.asarray(chol_lower_blocked(jnp.asarray(a), block=block))
-        want = np.linalg.cholesky(a)
-        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
-
-
-def test_chol_lower_blocked_non_pd_nan():
-    a = _random_spd(200, seed=9)
-    a[150, 150] = -1e4  # breaks PD in the second panel
-    got = np.asarray(chol_lower_blocked(jnp.asarray(a), block=128))
-    assert np.isnan(got[150:, 150:]).any()
 
 
 def test_blocked_spd_solve_non_pd_nan():

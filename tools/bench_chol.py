@@ -1,8 +1,18 @@
-"""Micro-benchmark: chol_lower_blocked vs XLA's cholesky expander on one
-large SPD matrix (the dense NLL / joint-prediction factorization shape).
+"""Micro-benchmark: XLA's cholesky expander on one large SPD matrix (the
+dense NLL / joint-prediction factorization shape) — the MFU anchor for
+docs/DESIGN.md §9's roofline table.
 
-Run on the target backend (TPU by default, CPU with JAX_PLATFORMS=cpu);
-prints warm ms per factorization at a few n plus max abs deviation.
+A hand-blocked right-looking factorization (panel chol + wide triangular
+solve + MXU Schur update) was benchmarked against this expander through
+round 4: it tied at 4096 (11.4 vs 11.3 ms) and lost at 8192 (25.0 vs
+20.7 ms, f32, v5e), so it was deleted rather than adopted (VERDICT r3
+item 5) — XLA's expander owns the single-matrix hot path, and the batched
+masked `blocked_spd_solve` (kernels/linalg.py) remains the win for the
+(B, k, k) local systems.
+
+Run on the target backend (TPU by default, CPU with the runtime platform
+switch); prints warm ms per factorization at a few n plus achieved
+FLOP/s.
 
     python tools/bench_chol.py            # n from BENCH_N or 2048,4096,8192
 """
@@ -16,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from cokriging_tpu.kernels.linalg import chol_lower_blocked
 
 SIZES = (
     [int(os.environ["BENCH_N"])] if "BENCH_N" in os.environ else [2048, 4096, 8192]
@@ -30,12 +39,19 @@ def _spd(n, seed=0):
 
 
 def _time(fn, a, reps=3):
+    # fresh input per call: the axon runtime returns cached results for
+    # repeated identical input buffers (see docs/DESIGN.md §2 caveat), so
+    # shift the diagonal by a distinct epsilon each rep and sync per call
     fn(a).block_until_ready()  # compile + warm
+    eye = jnp.eye(a.shape[0], dtype=a.dtype)
+    shifted = [a + (1e-3 * (k + 1)) * eye for k in range(reps)]
+    for s in shifted:
+        s.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(a)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3, out
+    for s in shifted:
+        out = fn(s)
+        out.block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():
@@ -43,14 +59,10 @@ def main():
     xla_chol = jax.jit(jnp.linalg.cholesky)
     for n in SIZES:
         a = _spd(n)
-        ms_xla, l_xla = _time(xla_chol, a)
-        ms_blk, l_blk = _time(lambda x: chol_lower_blocked(x, block=1024), a)
-        dev = float(jnp.max(jnp.abs(l_xla - l_blk)))
+        ms_xla = _time(xla_chol, a)
         gflops = (n**3 / 3) / 1e9
         print(
-            f"n={n:6d}  xla={ms_xla:8.1f} ms ({gflops/ms_xla*1e3:6.0f} GF/s)"
-            f"  blocked={ms_blk:8.1f} ms ({gflops/ms_blk*1e3:6.0f} GF/s)"
-            f"  max|dL|={dev:.2e}"
+            f"n={n:6d}  xla={ms_xla:8.1f} ms ({gflops / ms_xla * 1e3:6.0f} GF/s)"
         )
 
 
