@@ -41,17 +41,20 @@ def _spd(n, seed=0):
 def _time(fn, a, reps=3):
     # fresh input per call: the axon runtime returns cached results for
     # repeated identical input buffers (see docs/DESIGN.md §2 caveat), so
-    # shift the diagonal by a distinct epsilon each rep and sync per call
-    fn(a).block_until_ready()  # compile + warm
+    # shift the diagonal by a distinct epsilon each rep; a HOST read of a
+    # scalar reduction per rep forces real execution (block_until_ready
+    # alone can return on the remote runtime's enqueue ack)
+    sumj = jax.jit(lambda x: jnp.sum(fn(x)))
+    float(sumj(a))  # compile + warm
     eye = jnp.eye(a.shape[0], dtype=a.dtype)
-    shifted = [a + (1e-3 * (k + 1)) * eye for k in range(reps)]
-    for s in shifted:
-        s.block_until_ready()
+    shifted = [(a + (1e-3 * (k + 1)) * eye).block_until_ready() for k in range(reps)]
     t0 = time.perf_counter()
+    acc = 0.0
     for s in shifted:
-        out = fn(s)
-        out.block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+        acc += float(sumj(s))
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    assert acc == acc, "NaN factor"
+    return dt
 
 
 def main():

@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("BENCH_N", 1500))  # per process
 REPS = 2
+# BENCH_STAGES=vario runs only the variogram + collective-decomposition
+# columns (the vecchia/predict stages are ~50 s per device count on the
+# shared-core virtual mesh and have their own full-table record)
+STAGES = os.environ.get("BENCH_STAGES", "all")
 
 
 def timed(fn, *args, **kw):
@@ -160,10 +164,14 @@ def main():
                                               chunk=1024)
             )(x)
 
-        t_n, (nll, g) = timed(vecchia_vg, flat)
-        t_p, _ = timed(
-            sharded_local_predict, lp, 0, pcoords, 1000.0, mesh=mesh
-        )
+        if STAGES == "vario":
+            t_n = t_p = float("nan")
+            nll = 0.0
+        else:
+            t_n, (nll, g) = timed(vecchia_vg, flat)
+            t_p, _ = timed(
+                sharded_local_predict, lp, 0, pcoords, 1000.0, mesh=mesh
+            )
 
         n_terms = lik._win[0].shape[0]
         rows_dev = -(-N // n_dev)
