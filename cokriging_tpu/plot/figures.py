@@ -123,7 +123,22 @@ def plot_sim_pred(rf, df_pred: pd.DataFrame, i: int = 0):
     """Truth vs prediction vs error panels on the simulation grid
     (reference plot_sim_pred, src/plot.py:61-90)."""
     truth = rf.fields[i]
-    merged = df_pred.merge(truth, on=["x", "y"], how="left")
+    # merge on rounded keys: the TPU path carries f32 coordinates, and a
+    # raw float equality join against the grid's f64 coords matches only
+    # exactly-representable points (0, 0.5, 1 — nine dots of "truth");
+    # 6-decimal rounding heals the ~1e-8 relative f32 error at any
+    # practical grid step
+    def _k(d):
+        # upcast before rounding: .round on a float32 Series stays f32,
+        # which re-rounds to the same unrepresentable value
+        return d.assign(
+            _kx=d["x"].astype("float64").round(6),
+            _ky=d["y"].astype("float64").round(6),
+        )
+
+    merged = _k(df_pred).merge(
+        _k(truth)[["_kx", "_ky", "value"]], on=["_kx", "_ky"], how="left"
+    )
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
     for ax, col, cmap, title in zip(
         axes,
