@@ -273,6 +273,7 @@ def parametric_bootstrap(
     mesh=None,
     main: bool = False,
     project_validity: bool = True,
+    per_replicate_init: bool = True,
 ) -> BootstrapResult:
     """Parametric bootstrap of the composite-WLS estimator.
 
@@ -293,6 +294,14 @@ def parametric_bootstrap(
             src/model.py:336-343 is a stub), and an invalid generator has
             no PD covariance to simulate from. The bootstrap then samples
             around the projected model.
+        per_replicate_init: start each replicate's refit from the moment
+            init of ITS OWN resampled variogram (host-computed, so
+            identical across device layouts) instead of the shared
+            generator values. Replicates whose WLS surface is bistable
+            from the shared start can otherwise flip basins between
+            sharded and unsharded layouts — eps-scale reduction
+            reassociation amplified through the L-BFGS trajectory; a
+            per-replicate start deep in its own basin removes that.
 
     Returns:
         BootstrapResult (``.summary()`` for SEs / percentile intervals).
@@ -310,8 +319,30 @@ def parametric_bootstrap(
     )
     pairs, centers, means, counts = batched_variograms(coords, values_rep, config)
 
-    x_init = np.asarray((init or params).to_flat(), np.float64)
-    x0 = np.tile(x_init[None], (n_rep, 1))
+    if per_replicate_init and init is None:
+        from types import SimpleNamespace
+
+        from cokriging_tpu.estimate.wls import moment_init
+
+        x0 = np.stack([
+            np.asarray(
+                moment_init(
+                    SimpleNamespace(
+                        pairs=list(pairs),
+                        bin_centers=centers,
+                        bin_means=np.asarray(means[b]),
+                        bin_counts=counts,
+                        config=config,
+                    ),
+                    spec=params.spec,
+                ).to_flat(),
+                np.float64,
+            )
+            for b in range(n_rep)
+        ])
+    else:
+        x_init = np.asarray((init or params).to_flat(), np.float64)
+        x0 = np.tile(x_init[None], (n_rep, 1))
     centers_b = np.tile(centers[None], (n_rep, 1, 1))
     counts_b = np.tile(counts[None], (n_rep, 1, 1))
     means_b = np.nan_to_num(means, nan=0.0)

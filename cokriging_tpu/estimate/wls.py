@@ -474,6 +474,7 @@ def fit_wls_batch(
     mesh=None,
     validity_weight: float = 0.0,
     per_month_init: bool = False,
+    project_validity=False,
 ):
     """Fit MANY months/bands at once: one compiled on-device L-BFGS program
     vmapped over the batch and (optionally) sharded over a device mesh.
@@ -491,10 +492,21 @@ def fit_wls_batch(
         per_month_init: start each month from its own moment_init
             instead of the shared ``init`` (better-conditioned starts on
             long heterogeneous records).
+        project_validity: project each fitted month onto the exact
+            spectral validity region (cov.spectral.project_to_valid).
+            ``True`` lifts cross-smoothness to the Gneiting floor and
+            clips rho to its exact rho_max bound; ``"parsimony"``
+            additionally snaps the cross structure onto the parsimonious
+            bivariate Matern (nu_ij = mean of marginals, l_ij = geometric
+            mean), which keeps the admissible rho region wide — the right
+            choice for thin monthly estimates whose unconstrained cross
+            fit lands where rho_max ~ 0 and every downstream local
+            Cholesky would NaN (the reference's unchecked failure mode,
+            src/model.py:172, 336-343).
 
     Returns:
-        (list of MaternParams, costs ndarray). Per-month convergence
-        flags ride on ``fit_wls_batch.last_converged`` (same order).
+        (list of MaternParams, costs ndarray, converged bool ndarray),
+        all in estimate order.
     """
     if not estimates:
         return [], np.zeros(0)
@@ -521,8 +533,17 @@ def fit_wls_batch(
         x0, centers, means, counts, pairs, spec, maxiter=maxiter, mesh=mesh,
         validity_weight=validity_weight,
     )
-    fit_wls_batch.last_converged = conv
-    return [MaternParams.from_flat(jnp.asarray(x), spec=spec) for x in xs], costs
+    params_list = [
+        MaternParams.from_flat(jnp.asarray(x), spec=spec) for x in xs
+    ]
+    if project_validity:
+        from cokriging_tpu.cov.spectral import project_to_valid
+
+        parsimony = project_validity == "parsimony"
+        params_list = [
+            project_to_valid(p, parsimony=parsimony) for p in params_list
+        ]
+    return params_list, costs, conv
 
 
 def fit_wls_batch_arrays(

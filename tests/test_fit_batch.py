@@ -38,7 +38,7 @@ def test_fit_batch_many_months():
         np.array([1, 1, 1.5, 1.5, 1.5, 0.1, 0.1, 0.1, 0.01, 0.01, 0.0]),
         spec=_spec(),
     )
-    fits, costs = fit_wls_batch(estimates, init=init, maxiter=120)
+    fits, costs, conv = fit_wls_batch(estimates, init=init, maxiter=120)
     assert len(fits) == 3 and costs.shape == (3,)
     assert np.isfinite(costs).all()
     # every month's fitted sigma lands in a sane range around truth
@@ -71,10 +71,12 @@ def test_fit_batch_sharded_converges():
         np.array([1, 1, 1.5, 1.5, 1.5, 0.1, 0.1, 0.1, 0.01, 0.01, 0.0]),
         spec=_spec(),
     )
-    fits_mesh, costs_mesh = fit_wls_batch(
+    fits_mesh, costs_mesh, _ = fit_wls_batch(
         estimates, init=init, maxiter=120, mesh=make_mesh()
     )
-    fits_single, costs_single = fit_wls_batch(estimates, init=init, maxiter=120)
+    fits_single, costs_single, _ = fit_wls_batch(
+        estimates, init=init, maxiter=120
+    )
     assert len(fits_mesh) == 9 and np.isfinite(costs_mesh).all()
     # The mesh changes the layout, not the problem: both runs converge to
     # the same optimum up to L-BFGS trajectory noise (the sharded layout
