@@ -199,19 +199,77 @@ def project_to_valid(
     return params.replace(rho=rho)
 
 
+def bessel_j0(x):
+    """J_0(x), Bessel function of the first kind, order zero.
+
+    Abramowitz & Stegun 9.4.1 (|x| < 8, rational polynomial) and 9.4.3
+    (|x| >= 8, modulus/phase asymptotic); ~1e-8 absolute accuracy —
+    plenty for the spectral round-trip quadrature whose discretization
+    error dominates. jax.scipy.special.bessel_jn's downward recurrence is
+    NaN-unstable at small arguments, hence this standalone form.
+    """
+    x = jnp.abs(jnp.asarray(x, jnp.result_type(float)))
+    # |x| < 8: rational P(y)/Q(y) in y = x^2
+    y = x * x
+    p_small = (
+        57568490574.0
+        + y * (-13362590354.0 + y * (651619640.7
+        + y * (-11214424.18 + y * (77392.33017 + y * (-184.9052456)))))
+    )
+    q_small = (
+        57568490411.0
+        + y * (1029532985.0 + y * (9494680.718
+        + y * (59272.64853 + y * (267.8532712 + y))))
+    )
+    small = p_small / q_small
+    # |x| >= 8: modulus-phase form
+    ax = jnp.maximum(x, 1e-30)
+    z = 8.0 / ax
+    y2 = z * z
+    xx = ax - 0.785398164
+    p1 = (
+        1.0
+        + y2 * (-0.1098628627e-2 + y2 * (0.2734510407e-4
+        + y2 * (-0.2073370639e-5 + y2 * 0.2093887211e-6)))
+    )
+    p2 = (
+        -0.1562499995e-1
+        + y2 * (0.1430488765e-3 + y2 * (-0.6911147651e-5
+        + y2 * (0.7621095161e-6 + y2 * (-0.934935152e-7))))
+    )
+    large = jnp.sqrt(0.636619772 / ax) * (
+        jnp.cos(xx) * p1 - z * jnp.sin(xx) * p2
+    )
+    return jnp.where(x < 8.0, small, large)
+
+
 def spectral_correlation_roundtrip(nu, len_scale, h, n_freq=4096, w_max=None, d=1):
-    """Numerically invert the 1-d spectral density back to a correlation
-    and evaluate it at lags h — the self-consistency check mirroring the
-    notebook's spectral/covariance comparisons. Only d=1 supported (the
-    cosine-transform pair)."""
-    if d != 1:
-        raise NotImplementedError("roundtrip check implemented for d=1")
+    """Numerically invert the d-dimensional spectral density back to a
+    correlation and evaluate it at lags h — the self-consistency check
+    mirroring the notebook's spectral/covariance comparisons
+    (research/matern_spectrum.ipynb cells 7-14, whose cross-checks are
+    2-d). d=1 is the cosine-transform pair; d=2 the Hankel transform
+
+        C(h) = 2 pi * int_0^inf S(w) J_0(2 pi w h) w dw.
+    """
+    if d not in (1, 2):
+        raise NotImplementedError("roundtrip check implemented for d in (1, 2)")
     if w_max is None:
         w_max = 40.0 / len_scale
     w = jnp.linspace(0.0, w_max, n_freq)
-    s = matern_spectral_density_1d(w, nu, len_scale)
+    s = matern_spectral_density(w, nu, len_scale, d=d)
     h = jnp.atleast_1d(jnp.asarray(h, jnp.result_type(float)))
-    # C(h) = 2 * int_0^inf S(w) cos(2 pi w h) dw  (even spectrum)
-    integrand = s[None, :] * jnp.cos(2.0 * jnp.pi * w[None, :] * h[:, None])
-    cov = 2.0 * jnp.trapezoid(integrand, w, axis=1)
+    if d == 1:
+        # C(h) = 2 * int_0^inf S(w) cos(2 pi w h) dw  (even spectrum)
+        integrand = s[None, :] * jnp.cos(
+            2.0 * jnp.pi * w[None, :] * h[:, None]
+        )
+        cov = 2.0 * jnp.trapezoid(integrand, w, axis=1)
+    else:
+        integrand = (
+            s[None, :]
+            * bessel_j0(2.0 * jnp.pi * w[None, :] * h[:, None])
+            * w[None, :]
+        )
+        cov = 2.0 * jnp.pi * jnp.trapezoid(integrand, w, axis=1)
     return cov

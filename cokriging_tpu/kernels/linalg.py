@@ -70,6 +70,8 @@ def tri_inv_lower(L, block: int = 512):
     return X[:n, :n] if pad else X
 
 
+# top-level jitted on purpose: callers (joint LOOCV, precision-identity
+# paths) invoke it outside any enclosing jit, and `block` is static
 @partial(jax.jit, static_argnames=("block",))
 def spd_inverse_from_chol(chol, block: int = 512):
     """C^-1 = L^-T L^-1 from a lower Cholesky factor, via the blocked

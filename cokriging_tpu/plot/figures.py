@@ -125,20 +125,29 @@ def plot_sim_pred(rf, df_pred: pd.DataFrame, i: int = 0):
     truth = rf.fields[i]
     # merge on rounded keys: the TPU path carries f32 coordinates, and a
     # raw float equality join against the grid's f64 coords matches only
-    # exactly-representable points (0, 0.5, 1 — nine dots of "truth");
-    # 6-decimal rounding heals the ~1e-8 relative f32 error at any
-    # practical grid step
+    # exactly-representable points (0, 0.5, 1 — nine dots of "truth").
+    # Rounding to 6 - ceil(log10(|coord|)) decimals heals the f32 error
+    # (~7 significant digits) at any coordinate magnitude — a fixed
+    # 6-decimal round would silently produce all-NaN truth on O(100)
+    # lat/lon-scale grids, where f32 eps is ~1.5e-5.
+    span = max(
+        1.0,
+        float(np.nanmax(np.abs(truth["x"].to_numpy(dtype="float64")))),
+        float(np.nanmax(np.abs(truth["y"].to_numpy(dtype="float64")))),
+    )
+    decimals = max(0, 6 - int(np.ceil(np.log10(span))))
+
     def _k(d):
         # upcast before rounding: .round on a float32 Series stays f32,
         # which re-rounds to the same unrepresentable value
         return d.assign(
-            _kx=d["x"].astype("float64").round(6),
-            _ky=d["y"].astype("float64").round(6),
+            _kx=d["x"].astype("float64").round(decimals),
+            _ky=d["y"].astype("float64").round(decimals),
         )
 
     merged = _k(df_pred).merge(
         _k(truth)[["_kx", "_ky", "value"]], on=["_kx", "_ky"], how="left"
-    )
+    ).drop(columns=["_kx", "_ky"])
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
     for ax, col, cmap, title in zip(
         axes,

@@ -33,6 +33,32 @@ def test_spectral_roundtrip_matches_correlation():
     np.testing.assert_allclose(corr_spectral, corr_direct, atol=2e-4)
 
 
+def test_spectral_roundtrip_matches_correlation_2d():
+    """d=2 Hankel-transform inversion — the dimensionality of the
+    reference's spectral cross-checks (research/matern_spectrum.ipynb
+    cells 7-14)."""
+    h = np.linspace(0.01, 2.0, 10)
+    for nu, ell in [(0.5, 0.3), (1.5, 0.25), (2.5, 1.0)]:
+        corr_direct = np.asarray(matern_correlation(nu, ell, jnp.asarray(h)))
+        corr_spectral = np.asarray(
+            spectral_correlation_roundtrip(nu, ell, h, d=2, n_freq=8192)
+        )
+        np.testing.assert_allclose(
+            corr_spectral, corr_direct, atol=5e-4, err_msg=f"nu={nu} ell={ell}"
+        )
+
+
+def test_bessel_j0_accuracy():
+    import scipy.special as sps
+
+    from cokriging_tpu.cov.spectral import bessel_j0
+
+    x = np.concatenate([np.linspace(0.0, 7.99, 300), np.linspace(8.0, 80.0, 300)])
+    np.testing.assert_allclose(
+        np.asarray(bessel_j0(x)), sps.j0(x), atol=1e-8
+    )
+
+
 def test_parameterization_roundtrip():
     nu = 2.3
     ell = 0.7

@@ -166,7 +166,7 @@ def main():
 
         if STAGES == "vario":
             t_n = t_p = float("nan")
-            nll = 0.0
+            nll = None
         else:
             t_n, (nll, g) = timed(vecchia_vg, flat)
             t_p, _ = timed(
@@ -186,12 +186,20 @@ def main():
         base.setdefault("v", t_v)
         base.setdefault("n", t_n)
         base.setdefault("p", t_p)
-        assert np.isfinite(float(nll))
+        if nll is not None:
+            assert np.isfinite(float(nll))
+    extra = (
+        ""
+        if STAGES == "vario"
+        else (
+            f"  vecchia {base['n'] / t_n:.2f}x"
+            f"  predict {base['p'] / t_p:.2f}x"
+        )
+    )
     print(
         "speedup@8dev: "
-        f"vario {base['v'] / t_v:.2f}x  vecchia {base['n'] / t_n:.2f}x  "
-        f"predict {base['p'] / t_p:.2f}x  (virtual devices share cores; "
-        "per-device work columns are the scaling proof)"
+        f"vario {base['v'] / t_v:.2f}x{extra}  (virtual devices share "
+        "cores; per-device work columns are the scaling proof)"
     )
 
 
