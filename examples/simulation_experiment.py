@@ -169,11 +169,36 @@ def main():
 
     from cokriging_tpu.utils.results import record_manifest
 
+    # reference-parity block (tools/ref_parity_sim.py runs the REFERENCE
+    # WLS and joint LOOCV on this exact data): the reference's own WLS
+    # lands at the same nu-pegged/rho-overshot optimum, and its LOOCV
+    # gives the same sub-nominal coverage — both are estimator behaviors
+    # shared with the reference, not repo regressions.
+    parity = {}
+    parity_path = pathlib.Path(__file__).parents[1] / "results" / "ref_parity_sim.json"
+    if parity_path.exists():
+        import json
+
+        ref = json.loads(parity_path.read_text())
+        parity = {
+            "ref_wls_flat": ref.get("ref_wls_flat"),
+            "ref_loocv_coverage_95": ref.get("ref_loocv_coverage_95"),
+            "ref_loocv_z_std": ref.get("ref_loocv_z_std"),
+            "parity_statement": (
+                "reference WLS and joint LOOCV reproduce these numbers on "
+                "identical data (tools/ref_parity_sim.py): WLS parity at the "
+                "nu bound with |rho| overshoot; coverage miss is reference "
+                "behavior (neither adds measurement-error variance to the "
+                "CV denominator, src/point_prediction.py:109-110)"
+            ),
+        }
+
     record_manifest(
         "simulation_experiment",
         {
             "truth_flat": TRUTH,
             "wls_flat": [round(float(v), 4) for v in np.asarray(p_wls.to_flat())],
+            **parity,
             "nll_flat": [round(float(v), 4) for v in np.asarray(p_nll.to_flat())],
             "vecchia_flat": [
                 round(float(v), 4) for v in np.asarray(p_vec.to_flat())
