@@ -28,6 +28,27 @@ def _get(ds, name):
     return np.asarray(v)
 
 
+def _parse_time(t, epoch: str):
+    """Granule timestamps -> pandas datetimes.
+
+    Real OCO-2 Lite files store numeric seconds since an instrument epoch
+    (SIF Lite ``Delta_Time``: seconds since 1993-01-01; FP Lite ``time``:
+    seconds since 1970-01-01) — a raw ``pd.to_datetime`` would read those
+    floats as *nanoseconds* since 1970. Numeric input is converted from
+    the named epoch; datetime64/string input passes through unchanged
+    (synthetic frames and pre-parsed datasets).
+    """
+    t = pd.Series(np.asarray(t).ravel())
+    if np.issubdtype(t.dtype, np.number):
+        out = pd.Timestamp(epoch) + pd.to_timedelta(t, unit="s")
+    else:
+        out = pd.to_datetime(t)
+    # positional values: the caller assigns into an already-QC-filtered
+    # frame whose index has gaps — a fresh-indexed Series would align to
+    # NaT there
+    return out.to_numpy()
+
+
 def prep_sif(ds) -> pd.DataFrame:
     """Clean an OCO-2 SIF Lite granule (src/data_utils.py:21-58)."""
     df = pd.DataFrame(
@@ -43,7 +64,8 @@ def prep_sif(ds) -> pd.DataFrame:
     df = df[df["flag"] != 2]
     df = df[df["sif"] + 3.0 * df["sif_sigma"] > 0]
     df["sif_var"] = df["sif_sigma"] ** 2
-    df["time"] = pd.to_datetime(df["time"])
+    # SIF Lite Delta_Time: seconds since the 1993-01-01 instrument epoch
+    df["time"] = _parse_time(df["time"], "1993-01-01")
     return df[["time", "lat", "lon", "sif", "sif_var"]].reset_index(drop=True)
 
 
@@ -61,7 +83,8 @@ def prep_xco2(ds) -> pd.DataFrame:
     )
     df = df[df["flag"] == 0]
     df["xco2_var"] = df["xco2_uncert"] * 2.0
-    df["time"] = pd.to_datetime(df["time"])
+    # FP Lite time: seconds since the unix epoch
+    df["time"] = _parse_time(df["time"], "1970-01-01")
     return df[["time", "lat", "lon", "xco2", "xco2_var"]].reset_index(drop=True)
 
 

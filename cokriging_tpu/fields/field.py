@@ -55,6 +55,12 @@ def fit_linear_trend(times_index: np.ndarray, series: np.ndarray) -> np.ndarray:
         return out
     x = times_index[good].astype(float)
     y = series[good]
+    if np.unique(x).size < 2:
+        # single-epoch record (e.g. a one-month granule batch): the trend
+        # is just the mean — polyfit's rank-deficient 1-point system would
+        # abort in LAPACK instead
+        out[good] = y.mean()
+        return out
     slope, intercept = np.polyfit(x, y, 1)
     out[good] = intercept + slope * times_index[good]
     return out

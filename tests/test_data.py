@@ -170,7 +170,8 @@ def test_open_mf_concurrent_matches_serial(tmp_path):
             f["Quality_Flag"] = rng.choice([0, 1, 2], size=n)
             f["Longitude"] = rng.uniform(-120, -70, n)
             f["Latitude"] = rng.uniform(25, 50, n)
-            f["Delta_Time"] = np.full(n, 1_554_076_800_000_000_000, "i8")
+            # real SIF Lite convention: float seconds since 1993-01-01
+            f["Delta_Time"] = np.full(n, 8.3e8, "f8")
         paths.append(p)
     serial = open_mf(paths, prep_sif, workers=1)
     conc = open_mf(paths, prep_sif, workers=4)
