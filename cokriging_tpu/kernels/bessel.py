@@ -151,11 +151,16 @@ def _log_precise_jvp(primals, tangents):
 NU_MAX = 30
 _N_RECUR = NU_MAX  # static unroll count for the order recurrence
 
-# Iteration counts by dtype: convergence is to machine eps, so f32 needs
-# roughly half the trips — and the loops are sequential-latency-bound on
-# TPU, so trip count is wall-clock.
-_SERIES_ITERS = {jnp.dtype(jnp.float64): 40, jnp.dtype(jnp.float32): 22}
-_CF2_ITERS = {jnp.dtype(jnp.float64): 80, jnp.dtype(jnp.float32): 44}
+# Iteration counts by dtype: the loops are sequential-latency-bound on
+# TPU, so trip count is wall-clock. The f32 counts are the measured
+# convergence floors + ~50% margin (tools-level sweep vs scipy over
+# mu in [-1/2, 1/2], x in (0, 30]: the series' worst-case error is
+# trip-independent from n = 8 — it is set by f32 log/exp precision, not
+# truncation — and CF2's |dels/s| < eps freeze triggers everywhere by
+# n = 14). f64 keeps the conservative counts: it is the CPU golden path
+# where wall-clock is irrelevant and the 1e-12 bar needs the full tail.
+_SERIES_ITERS = {jnp.dtype(jnp.float64): 40, jnp.dtype(jnp.float32): 12}
+_CF2_ITERS = {jnp.dtype(jnp.float64): 80, jnp.dtype(jnp.float32): 18}
 _FD_H = {jnp.dtype(jnp.float64): 1e-5, jnp.dtype(jnp.float32): 1e-3}
 
 
@@ -198,12 +203,16 @@ def _temme_series(mu, x, gam_consts=None):
     e = mu * d
     pimu = _PI * mu
 
-    # pimu / sin(pimu), sinh(e)/e, with removable singularities
+    # pimu / sin(pimu), sinh(e)/e, with removable singularities. The
+    # literal `one` is dtype-anchored: a bare python 1.0 in a SCALAR
+    # where traces as a weak-f64 argument under x64, which Mosaic's
+    # scalar lowering inside lax.cond branches cannot squeeze.
+    one = jnp.ones((), x.dtype)
     small_p = jnp.abs(pimu) < 1e-4
     fact = jnp.where(
         small_p,
         1.0 + pimu * pimu / 6.0,
-        pimu / jnp.sin(jnp.where(small_p, 1.0, pimu)),
+        pimu / jnp.sin(jnp.where(small_p, one, pimu)),
     )
     # sinh/cosh via exp (Pallas TPU lowering has no sinh/cosh primitive);
     # |e| <= ~0.5 * |ln(x/2)| keeps exp(e) far from overflow
@@ -214,7 +223,7 @@ def _temme_series(mu, x, gam_consts=None):
     fact2 = jnp.where(
         small_e,
         1.0 + e * e / 6.0,
-        sinh_e / jnp.where(small_e, 1.0, e),
+        sinh_e / jnp.where(small_e, one, e),
     )
 
     if gam_consts is None:
@@ -329,6 +338,32 @@ def _kv_positive(nu, x):
     return _kv_from_munl(mu, nl, x)
 
 
+def order_recurrence(mu, nl, x, k_mu, k_mu1):
+    """Forward recurrence K_{r+1} = (2 r / x) K_r + K_{r-1}, r = mu + i,
+    up to order mu + nl — with a DYNAMIC trip bound max(nl) instead of
+    the old static NU_MAX(=30)-step masked unroll. The model's nu <= 3.5
+    needs at most 4 steps, and every step is serialized VPU work riding
+    inside optimizer scans, so 26 masked no-op steps were pure
+    wall-clock. ``nl`` may be an array (elementwise path) or a scalar
+    (Pallas tile path, where the bound reduce is free)."""
+    two_over_x = 2.0 / x
+    nl_max = jnp.max(nl).astype(jnp.int32)
+
+    def body(i, carry):
+        k_mu, k_mu1 = carry
+        fi = i.astype(x.dtype)
+        step = fi <= nl
+        k_next = (mu + fi) * two_over_x * k_mu1 + k_mu
+        return (
+            jnp.where(step, k_mu1, k_mu),
+            jnp.where(step, k_next, k_mu1),
+        )
+
+    return jax.lax.fori_loop(
+        jnp.int32(1), nl_max + jnp.int32(1), body, (k_mu, k_mu1)
+    )
+
+
 def _kv_from_munl(mu, nl, x):
     """K_{mu+nl}(x) with the order decomposition supplied by the caller.
 
@@ -346,15 +381,7 @@ def _kv_from_munl(mu, nl, x):
     use_series = x < 2.0
     k_mu = jnp.where(use_series, ks_mu, kc_mu)
     k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
-
-    # Forward recurrence K_{r+1} = (2 r / x) K_r + K_{r-1}, r = mu+i,
-    # statically unrolled with masking (nl is data-dependent).
-    two_over_x = 2.0 / x
-    for i in range(1, _N_RECUR + 1):
-        step = i <= nl
-        k_next = (mu + i) * two_over_x * k_mu1 + k_mu
-        k_mu = jnp.where(step, k_mu1, k_mu)
-        k_mu1 = jnp.where(step, k_next, k_mu1)
+    k_mu, _ = order_recurrence(mu, nl, x, k_mu, k_mu1)
     return k_mu
 
 

@@ -197,6 +197,49 @@ def variogram_bin_pallas(
 # collapses to one read of h and one write of M.
 
 
+def _kv_pair_tile_gated(mu, gam_consts, x):
+    """(K_mu, K_{mu+1}) on one tile, with TILE-LEVEL branch gating.
+
+    Distance tiles are spatially coherent, so most land entirely on one
+    side of the x = 2 series/CF2 switch point; evaluating only the branch
+    a tile needs skips the other branch's full serialized recurrence
+    (12-trip Temme or 18-trip CF2 per element, f32). Mixed tiles fall
+    back to evaluate-both-and-select — bit-identical to the ungated
+    kernel, since each branch sees the same clamped argument either way.
+    ``lax.cond`` with a tile-reduced scalar predicate lowers to an
+    scf.if Mosaic handles; both branches produce full tiles.
+    """
+    from cokriging_tpu.kernels import bessel as B
+
+    def series_only(_):
+        return B._temme_series(mu, jnp.minimum(x, 2.0), gam_consts=gam_consts)
+
+    def cf2_only(_):
+        return B._steed_cf2(mu, jnp.maximum(x, 2.0))
+
+    def mixed(_):
+        ks_mu, ks_mu1 = series_only(None)
+        kc_mu, kc_mu1 = cf2_only(None)
+        use_series = x < 2.0
+        return (
+            jnp.where(use_series, ks_mu, kc_mu),
+            jnp.where(use_series, ks_mu1, kc_mu1),
+        )
+
+    # f32 min/max reduces, NOT jnp.all/any: Mosaic lowers bool reduces
+    # through a proxy that materializes a default-float (f64 under x64)
+    # scalar, which its squeeze rule rejects
+    near = (x < 2.0).astype(x.dtype)
+    all_series = jnp.min(near) > 0.5
+    all_cf2 = jnp.max(near) < 0.5
+    return jax.lax.cond(
+        all_series,
+        series_only,
+        lambda _: jax.lax.cond(all_cf2, cf2_only, mixed, None),
+        None,
+    )
+
+
 def _matern_tile(p, h):
     """Matern correlation on one tile — same recurrences as
     kernels.bessel, with the scalar gamma-function constants precomputed
@@ -214,19 +257,8 @@ def _matern_tile(p, h):
     hs = jnp.where(positive, h, 1.0) / ls
     arg = jnp.sqrt(2.0 * nu) * hs
 
-    x_lo = jnp.minimum(arg, 2.0)
-    x_hi = jnp.maximum(arg, 2.0)
-    ks_mu, ks_mu1 = B._temme_series(mu, x_lo, gam_consts=gam_consts)
-    kc_mu, kc_mu1 = B._steed_cf2(mu, x_hi)
-    use_series = arg < 2.0
-    k_mu = jnp.where(use_series, ks_mu, kc_mu)
-    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
-    two_over_x = 2.0 / arg
-    for i in range(1, B.NU_MAX + 1):
-        step = i <= nl
-        k_next = (mu + i) * two_over_x * k_mu1 + k_mu
-        k_mu = jnp.where(step, k_mu1, k_mu)
-        k_mu1 = jnp.where(step, k_next, k_mu1)
+    k_mu, k_mu1 = _kv_pair_tile_gated(mu, gam_consts, arg)
+    k_mu, k_mu1 = B.order_recurrence(mu, nl, arg, k_mu, k_mu1)
 
     _LN2 = 0.6931471805599453  # jnp.log(2.0) makes a weak-f64 scalar;
     # Mosaic cannot lower the resulting f64->f32 truncf inside the kernel
@@ -314,19 +346,8 @@ def _kv_tile(mu, nl, gam_consts, x):
     scalars from SMEM."""
     from cokriging_tpu.kernels import bessel as B
 
-    x_lo = jnp.minimum(x, 2.0)
-    x_hi = jnp.maximum(x, 2.0)
-    ks_mu, ks_mu1 = B._temme_series(mu, x_lo, gam_consts=gam_consts)
-    kc_mu, kc_mu1 = B._steed_cf2(mu, x_hi)
-    use_series = x < 2.0
-    k_mu = jnp.where(use_series, ks_mu, kc_mu)
-    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
-    two_over_x = 2.0 / x
-    for i in range(1, B.NU_MAX + 1):
-        step = i <= nl
-        k_next = (mu + i) * two_over_x * k_mu1 + k_mu
-        k_mu = jnp.where(step, k_mu1, k_mu)
-        k_mu1 = jnp.where(step, k_next, k_mu1)
+    k_mu, k_mu1 = _kv_pair_tile_gated(mu, gam_consts, x)
+    k_mu, _ = B.order_recurrence(mu, nl, x, k_mu, k_mu1)
     return k_mu
 
 
