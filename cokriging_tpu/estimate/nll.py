@@ -140,18 +140,19 @@ def neg_log_likelihood(
         return out, (f, chol, alpha, bad)
 
     def _bwd(res, ct):
-        from cokriging_tpu.kernels.linalg import tri_inv_lower
+        from cokriging_tpu.kernels.linalg import spd_inverse_from_chol
 
         f, chol, alpha, bad = res
-        # C^-1 = L^-T L^-1 via the blocked triangular inverse — XLA's
-        # square-RHS triangular-solve expander holds ~n/256 live
-        # matrix-sized temps (32.5 GB measured at n = 12.5k), so
-        # solve_triangular(L, eye(n)) is not usable here.
-        linv = tri_inv_lower(chol)
+        # C^-1 via the divide-and-conquer triangular inverse + triangular
+        # product (kernels/linalg.py) — XLA's square-RHS triangular-solve
+        # expander holds ~n/256 live matrix-sized temps (32.5 GB measured
+        # at n = 12.5k), so solve_triangular(L, eye(n)) is not usable
+        # here, and the dense L^-T @ L^-1 matmul pays 3x the FLOPs.
+        cinv = spd_inverse_from_chol(chol)
         beta = jax.scipy.linalg.solve_triangular(
             chol, alpha, lower=True, trans=1
         )  # C^-1 z
-        g_cov = 0.5 * (linv.T @ linv - jnp.outer(beta, beta))
+        g_cov = 0.5 * (cinv - jnp.outer(beta, beta))
         # At penalty (non-PD) points the objective is locally constant.
         g_cov = jnp.where(bad, jnp.zeros_like(g_cov), g_cov) * ct
         _, avjp = jax.vjp(_assemble, f)

@@ -364,6 +364,26 @@ def order_recurrence(mu, nl, x, k_mu, k_mu1):
     )
 
 
+def kv_triple_from_pair(mu, nl, x, k_mu, k_mu1):
+    """(K_{nu-1}, K_nu, K_{nu+1}) at nu = mu + nl from ONE series/CF2
+    pair (K_mu, K_{mu+1}) — the three analytic orders of dK/dx share the
+    same fractional part, so the upward recurrence (the stable direction
+    for K) replaces two of the three serialized series/CF2 evaluations
+    the gradient kernels used to pay. nl == 0 (nu < 1/2) takes one exact
+    downward step K_{nu-1} = K_{nu+1} - (2 nu / x) K_nu instead; its
+    mild cancellation at small x only touches the K_{nu-1} term, which
+    dK/dx = -(K_{nu-1} + K_{nu+1})/2 never lets dominate."""
+    km, km1 = order_recurrence(mu, jnp.maximum(nl - 1.0, 0.0), x, k_mu, k_mu1)
+    nu = mu + nl
+    up_next = (2.0 * nu / x) * km1 + km
+    dn_prev = km1 - (2.0 * mu / x) * km
+    is0 = nl < 0.5
+    k_prev = jnp.where(is0, dn_prev, km)
+    k_mid = jnp.where(is0, km, km1)
+    k_next = jnp.where(is0, km1, up_next)
+    return k_prev, k_mid, k_next
+
+
 def _kv_from_munl(mu, nl, x):
     """K_{mu+nl}(x) with the order decomposition supplied by the caller.
 
@@ -421,28 +441,35 @@ def _kv_jvp(primals, tangents):
     nu, x = jnp.broadcast_arrays(nu.astype(dtype), x.astype(dtype))
 
     # One *stacked* kv evaluation serves the primal and every derivative
-    # term — the inner Temme/CF2 loops are sequential latency-bound, so 5
-    # separate calls would cost 5x the wall clock of one batched call:
-    #   rows: K_nu | K_{|nu-1|} | K_{nu+1} | K_{nu+h} | K_{|nu-h|}
+    # term — the inner Temme/CF2 loops are sequential latency-bound, so
+    # separate calls would multiply the wall clock. Rows:
+    #   K at orders nu | nu+h | nu-h   (same fractional part up to +-h)
+    # with (K_{nu-1}, K_nu, K_{nu+1}) recovered from row 0's series/CF2
+    # PAIR via the stable upward recurrence (kv_triple_from_pair) — three
+    # stacked rows instead of the former five.
     # dK/dx = -(K_{nu-1} + K_{nu+1})/2 (analytic);
     # dK/dnu by central difference (no closed form); h balances FD
     # cancellation vs truncation on both backends (TPU's emulated f64
-    # evaluates kv to ~1e-10 relative).
+    # evaluates kv to ~1e-10 relative). The FD rows pin nl(nu) and
+    # perturb mu only, so both land on row 0's recurrence depth.
     h = jnp.asarray(_FD_H[jnp.dtype(dtype)], dtype)
     x_safe = jnp.where(x > 0.0, x, 1.0)
-    # decompositions: the three analytic rows use the standard split; the
-    # two FD rows pin nl(nu) and perturb mu only (see _kv_from_munl)
-    nus3 = jnp.stack([nu, jnp.abs(nu - 1.0), nu + 1.0])
-    nl3 = jnp.floor(nus3 + 0.5)
-    nl0 = nl3[0]
+    nl0 = jnp.floor(nu + 0.5)
     mu0 = nu - nl0
-    mus = jnp.concatenate([nus3 - nl3, jnp.stack([mu0 + h, mu0 - h])])
-    nls = jnp.concatenate([nl3, jnp.stack([nl0, nl0])])
-    ks = _kv_from_munl(mus, nls, jnp.broadcast_to(x_safe, mus.shape))
+    mus = jnp.stack([mu0, mu0 + h, mu0 - h])
+    x3 = jnp.broadcast_to(x_safe, mus.shape)
+    x_lo = jnp.minimum(x3, 2.0)
+    x_hi = jnp.maximum(x3, 2.0)
+    ks_mu, ks_mu1 = _temme_series(mus, x_lo)
+    kc_mu, kc_mu1 = _steed_cf2(mus, x_hi)
+    use_series = x3 < 2.0
+    k_mu = jnp.where(use_series, ks_mu, kc_mu)
+    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
+    k_prev, k_mid, k_next = kv_triple_from_pair(mus, nl0, x3, k_mu, k_mu1)
     bad = jnp.where(x > 0.0, jnp.nan, jnp.where(x == 0.0, jnp.inf, jnp.nan))
-    primal_out = jnp.where(x > 0.0, ks[0], bad)
-    dk_dx = -0.5 * (ks[1] + ks[2])
-    dk_dnu = (ks[3] - ks[4]) / (2.0 * h)
+    primal_out = jnp.where(x > 0.0, k_mid[0], bad)
+    dk_dx = -0.5 * (k_prev[0] + k_next[0])
+    dk_dnu = (k_mid[1] - k_mid[2]) / (2.0 * h)
 
     dnu = jnp.zeros_like(primal_out) if dnu is None else dnu
     dx = jnp.zeros_like(primal_out) if dx is None else dx

@@ -16,23 +16,46 @@ import jax
 import jax.numpy as jnp
 
 
+def _tri_inv_rec(L, block):
+    """Divide-and-conquer lower-triangular inverse (padded, tril'd input).
+
+    [[A, 0], [B, C]]^-1 = [[A^-1, 0], [-C^-1 B A^-1, C^-1]] — two
+    recursive half-problems plus two half-size MXU matmuls. ~(2/3) n^3
+    FLOPs total; the old row-blocked forward substitution multiplied
+    every (block, n) row band against the FULL n x n carry (zeros
+    included), 2 n^3 FLOPs, and measured 5% MFU at n = 25k.
+    """
+    n = L.shape[0]
+    if n <= block:
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=L.dtype), lower=True
+        )
+    k = (-(-n // (2 * block))) * block  # split at a block multiple
+    A, B, C = L[:k, :k], L[k:, :k], L[k:, k:]
+    Ai = _tri_inv_rec(A, block)
+    Ci = _tri_inv_rec(C, block)
+    # Precision.HIGHEST: the default f32 matmul rides the MXU's bf16
+    # rounding, which would corrupt the inverse feeding NLL gradients.
+    Bi = -jnp.matmul(
+        Ci, jnp.matmul(B, Ai, precision=_HIGHEST), precision=_HIGHEST
+    )
+    top = jnp.concatenate([Ai, jnp.zeros((k, n - k), L.dtype)], axis=1)
+    bot = jnp.concatenate([Bi, Ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 @partial(jax.jit, static_argnames=("block",))
 def tri_inv_lower(L, block: int = 512):
-    """Inverse of a lower-triangular matrix by blocked forward substitution.
+    """Inverse of a lower-triangular matrix, divide-and-conquer blocked.
 
-    For block row k (top to bottom):
-
-        X[k, :] = Lkk^-1 (I[k, :] - L[k, :k] @ X[:k, :])
-
-    realized as one (block, n) matmul against the partially-filled output
-    (rows >= k*block still zero, so the sum needs no masking) plus a small
-    (block, block) triangular solve for the diagonal block. The output
-    carry is updated with ``dynamic_update_slice`` inside ``fori_loop``,
-    which XLA buffer assignment aliases in place.
+    Exists because XLA's triangular-solve expander with a full square
+    right-hand side holds ~n/block live matrix-sized temps (32.5 GB
+    measured at n = 12.5k); the recursion peaks at the output plus one
+    half-size temp.
 
     Args:
         L: (n, n) lower-triangular matrix (strictly-upper entries ignored).
-        block: row-block size (multiple of 128 keeps the MXU happy).
+        block: base-case size (multiple of 128 keeps the MXU happy).
 
     Returns:
         (n, n) lower-triangular L^-1, same dtype.
@@ -48,37 +71,45 @@ def tri_inv_lower(L, block: int = 512):
                 [jnp.zeros(n, L.dtype), jnp.ones(pad, L.dtype)]
             )
         )
-    m = n + pad
-    eye_b = jnp.eye(block, dtype=L.dtype)
-    # strictly-upper entries of L must not leak into the row products
-    L = jnp.tril(L)
-
-    def body(k, X):
-        r = k * block
-        # slice the (block, m) row band, then its diagonal block at column r
-        row = jax.lax.dynamic_slice(L, (r, 0), (block, m))
-        Lkk = jax.lax.dynamic_slice(row, (0, r), (block, block))
-        Akk = jax.scipy.linalg.solve_triangular(Lkk, eye_b, lower=True)
-        # Precision.HIGHEST: the default f32 matmul rides the MXU's bf16
-        # rounding, which would corrupt the inverse feeding NLL gradients.
-        prod = jnp.matmul(row, X, precision=_HIGHEST)
-        Xk = -jnp.matmul(Akk, prod, precision=_HIGHEST)
-        Xk = jax.lax.dynamic_update_slice(Xk, Akk, (0, r))
-        return jax.lax.dynamic_update_slice(X, Xk, (r, 0))
-
-    X = jax.lax.fori_loop(0, m // block, body, jnp.zeros_like(L))
+    # strictly-upper entries of L must not leak into the products
+    X = _tri_inv_rec(jnp.tril(L), block)
     return X[:n, :n] if pad else X
+
+
+def _tri_tt_rec(T, block):
+    """T^T @ T for lower-triangular T, divide-and-conquer.
+
+    T = [[A, 0], [B, C]] gives
+    [[A^T A + B^T B, B^T C], [C^T B, C^T C]] — two recursive triangular
+    half-products, one dense syrk, one dense matmul, and a transposed
+    reuse of the off-diagonal block. ~(2/3) n^3 FLOPs vs 2 n^3 for the
+    dense product that ignores the triangle of zeros.
+    """
+    n = T.shape[0]
+    if n <= block:
+        return jnp.matmul(T.T, T, precision=_HIGHEST)
+    k = (-(-n // (2 * block))) * block
+    A, B, C = T[:k, :k], T[k:, :k], T[k:, k:]
+    top_left = _tri_tt_rec(A, block) + jnp.matmul(
+        B.T, B, precision=_HIGHEST
+    )
+    off = jnp.matmul(B.T, C, precision=_HIGHEST)
+    bot_right = _tri_tt_rec(C, block)
+    top = jnp.concatenate([top_left, off], axis=1)
+    bot = jnp.concatenate([off.T, bot_right], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 # top-level jitted on purpose: callers (joint LOOCV, precision-identity
 # paths) invoke it outside any enclosing jit, and `block` is static
 @partial(jax.jit, static_argnames=("block",))
 def spd_inverse_from_chol(chol, block: int = 512):
-    """C^-1 = L^-T L^-1 from a lower Cholesky factor, via the blocked
-    triangular inverse (one extra MXU matmul; avoids the square-RHS
+    """C^-1 = L^-T L^-1 from a lower Cholesky factor: divide-and-conquer
+    triangular inverse + triangular-aware product (both ~(2/3) n^3 vs
+    the 2 n^3 of their dense counterparts; avoids the square-RHS
     triangular-solve expander — see tri_inv_lower)."""
     linv = tri_inv_lower(chol, block=block)
-    return jnp.matmul(linv.T, linv, precision=_HIGHEST)
+    return _tri_tt_rec(linv, block)
 
 
 # ---------------------------------------------------------------------------

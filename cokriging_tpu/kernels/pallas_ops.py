@@ -362,16 +362,22 @@ def _matern_grad_tile(p, h, ct):
     hs = jnp.where(pos, h, 1.0) / ls
     a = jnp.sqrt(2.0 * nu) * hs
 
-    # rows: K_nu | K_{|nu-1|} | K_{nu+1} | K_{nu+fd} | K_{|nu-fd|}
-    # (kernels/bessel.py:_kv_jvp) — evaluated sequentially per tile
-    ks = [
+    # rows: K_nu | K_{nu-1} | K_{nu+1} | K_{nu+fd} | K_{|nu-fd|}
+    # (kernels/bessel.py:_kv_jvp). The three analytic orders share the
+    # fractional part mu0, so ONE series/CF2 pair + the stable upward
+    # recurrence yields all three (kv_triple_from_pair) — 3 serialized
+    # K_nu evaluations per tile instead of 5.
+    from cokriging_tpu.kernels import bessel as B
+
+    mu0, nl0 = p[6], p[11]
+    pair0 = _kv_pair_tile_gated(mu0, (p[16], p[17], p[18], p[19]), a)
+    k_prev, k_mid, k_next = B.kv_triple_from_pair(mu0, nl0, a, *pair0)
+    ks = [k_mid, k_prev, k_next] + [
         _kv_tile(p[6 + o], p[11 + o],
                  (p[16 + 4 * o], p[17 + 4 * o], p[18 + 4 * o], p[19 + 4 * o]),
                  a)
-        for o in range(5)
+        for o in (3, 4)
     ]
-
-    from cokriging_tpu.kernels import bessel as B
 
     log_a = B.log_precise(a)
     lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
@@ -661,17 +667,26 @@ def _make_pairs_grad_kernel(n_pairs):
         hs = jnp.where(pos, h, 1.0) / ls
         a = jnp.sqrt(2.0 * nu) * hs
 
-        ks = [
+        from cokriging_tpu.kernels import bessel as B
+
+        # the three analytic orders share each lane's fractional part:
+        # one series/CF2 pair + the recurrence (kv_triple_from_pair)
+        # replaces three of the five serialized K_nu evaluations
+        pair0 = _kv_pair_tile_gated(
+            sel(5), (sel(15), sel(16), sel(17), sel(18)), a
+        )
+        k_prev, k_mid, k_next = B.kv_triple_from_pair(
+            sel(5), sel(10), a, *pair0
+        )
+        ks = [k_mid, k_prev, k_next] + [
             _kv_tile(
                 sel(5 + o), sel(10 + o),
                 (sel(15 + 4 * o), sel(16 + 4 * o),
                  sel(17 + 4 * o), sel(18 + 4 * o)),
                 a,
             )
-            for o in range(5)
+            for o in (3, 4)
         ]
-
-        from cokriging_tpu.kernels import bessel as B
 
         log_a = B.log_precise(a)
         lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
