@@ -103,7 +103,13 @@ def main():
 
     from cokriging_tpu.utils.results import record_manifest, save_figure
 
-    record_manifest("vecchia_scaling", {"m": m, "rows": rows})
+    notes = (
+        "build_s is host-side (maxmin ordering + kd neighbor search) plus "
+        "one device dispatch; expected ~O(N log N). The round-4 record's "
+        "155 s outlier at N=250k did not reproduce (26.8 s on re-run) — "
+        "a one-off relay/tunnel stall, not a scaling property."
+    )
+    record_manifest("vecchia_scaling", {"m": m, "rows": rows, "notes": notes})
 
     import matplotlib
 
