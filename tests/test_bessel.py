@@ -40,6 +40,38 @@ def test_kv_large_order():
     assert rel.max() < 1e-11
 
 
+def test_kv_triple_from_pair_matches_scipy():
+    """The gradient kernels' 3-for-1 trick: (K_{nu-1}, K_nu, K_{nu+1})
+    from one series/CF2 pair + the recurrence, including the nl == 0
+    downward-step branch (nu < 1/2)."""
+    from cokriging_tpu.kernels.bessel import (
+        _steed_cf2,
+        _temme_series,
+        kv_triple_from_pair,
+    )
+
+    xs = np.concatenate(
+        [np.logspace(-4, 2, 60), [1.99, 2.0, 2.01]]
+    )
+    for nu in [0.05, 0.3, 0.49, 0.51, 0.7, 1.5, 2.0, 2.5, 3.49]:
+        nl = np.floor(nu + 0.5)
+        mu = nu - nl
+        x = jnp.asarray(xs)
+        x_lo, x_hi = jnp.minimum(x, 2.0), jnp.maximum(x, 2.0)
+        ks, ks1 = _temme_series(jnp.asarray(mu), x_lo)
+        kc, kc1 = _steed_cf2(jnp.asarray(mu), x_hi)
+        use = x < 2.0
+        pair = (jnp.where(use, ks, kc), jnp.where(use, ks1, kc1))
+        kp, km, kn = kv_triple_from_pair(
+            jnp.asarray(mu), jnp.asarray(nl), x, *pair
+        )
+        for got, order in [(kp, nu - 1.0), (km, nu), (kn, nu + 1.0)]:
+            ref = sps.kv(abs(order), xs)
+            ok = np.isfinite(ref) & (ref > 0) & (ref < 1e300)
+            rel = np.abs(np.asarray(got)[ok] / ref[ok] - 1.0)
+            assert rel.max() < 5e-11, (nu, order, rel.max())
+
+
 def test_kv_edge_values():
     assert np.isinf(float(kv(1.5, 0.0)))
     assert np.isnan(float(kv(1.5, -1.0)))
