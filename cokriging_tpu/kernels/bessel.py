@@ -16,9 +16,12 @@ Algorithm (Temme 1975; the classic ``bessik`` structure):
 - ``x > 2``: Steed's continued fraction CF2 for ``K_mu``, ``K_{mu+1}``;
 - forward recurrence ``K_{r+1} = (2r/x) K_r + K_{r-1}`` up to ``nu``.
 
-All loops have *fixed* trip counts (TPU/XLA friendly, reverse-mode
-differentiable); both branches are evaluated on clamped inputs and selected
-with ``jnp.where`` so no NaNs leak into either primal or tangent values.
+Series/CF2 trip counts are fixed per dtype (measured convergence floors;
+TPU/XLA friendly), the order recurrence runs to a dynamic max(nl) bound,
+and both branches are evaluated on clamped inputs and selected with
+``jnp.where`` so no NaNs leak into either primal or tangent values.
+Gradients flow through custom JVPs (exact forward-mode tangents), never
+reverse-mode through the loops.
 
 Supported domain: ``x > 0``, ``0 < nu <= NU_MAX`` (= 30). The Matern model
 clamps to its own bounds well inside this.
@@ -66,6 +69,49 @@ def inv_gamma1p(z):
     for c in _INV_GAMMA1P_COEF[-2::-1]:
         acc = acc * z + c
     return acc
+
+
+def dinv_gamma1p(z):
+    """d/dz of ``inv_gamma1p``'s Taylor polynomial — exact within the
+    polynomial, so tangents through the f32 gamma constants carry no
+    hardware-approximation error (TPU digamma is ~1e-4 absolute)."""
+    z = jnp.asarray(z)
+    n = len(_INV_GAMMA1P_COEF)
+    acc = jnp.full_like(z, (n - 1) * _INV_GAMMA1P_COEF[-1])
+    for k in range(n - 2, 0, -1):
+        acc = acc * z + k * _INV_GAMMA1P_COEF[k]
+    return acc
+
+
+def gam12_tangent(mu):
+    """d/dmu of ``_gam12``: (dgam1, dgam2, dinv_gp, dinv_gm).
+
+    Feeds exact forward-mode dK/dnu through the Temme series (the
+    gradient kernels' replacement for the former central-difference
+    rows). f32 differentiates the Taylor polynomial directly; f64 uses
+    the digamma identities d(1/Gamma(1+mu)) = -psi(1+mu)/Gamma(1+mu),
+    d(1/Gamma(1-mu)) = +psi(1-mu)/Gamma(1-mu).
+    """
+    mu = jnp.asarray(mu)
+    gam1, gam2, inv_gp, inv_gm = _gam12(mu)
+    if mu.dtype == jnp.float32:
+        d_gp = dinv_gamma1p(mu)
+        d_gm = -dinv_gamma1p(-mu)
+    else:
+        d_gp = -jax.lax.digamma(1.0 + mu) * inv_gp
+        d_gm = jax.lax.digamma(1.0 - mu) * inv_gm
+    d_gam2 = 0.5 * (d_gm + d_gp)
+    # gam1 = (inv_gm - inv_gp) / (2 mu): quotient rule away from 0, odd
+    # Taylor series d(-(A1 + A3 mu^2 + ...)) = -2 A3 mu at the removable
+    # singularity
+    small = jnp.abs(mu) < 1e-3
+    mu_safe = jnp.where(small, 1.0, mu)
+    d_gam1 = jnp.where(
+        small,
+        -2.0 * _A3 * mu,
+        ((d_gm - d_gp) - 2.0 * gam1) / (2.0 * mu_safe),
+    )
+    return d_gam1, d_gam2, d_gp, d_gm
 
 
 def inv_gamma(nu):
@@ -161,7 +207,6 @@ _N_RECUR = NU_MAX  # static unroll count for the order recurrence
 # where wall-clock is irrelevant and the 1e-12 bar needs the full tail.
 _SERIES_ITERS = {jnp.dtype(jnp.float64): 40, jnp.dtype(jnp.float32): 12}
 _CF2_ITERS = {jnp.dtype(jnp.float64): 80, jnp.dtype(jnp.float32): 18}
-_FD_H = {jnp.dtype(jnp.float64): 1e-5, jnp.dtype(jnp.float32): 1e-3}
 
 
 def _gam12(mu):
@@ -440,36 +485,36 @@ def _kv_jvp(primals, tangents):
     dtype = jnp.result_type(nu.dtype, x.dtype, jnp.float32)
     nu, x = jnp.broadcast_arrays(nu.astype(dtype), x.astype(dtype))
 
-    # One *stacked* kv evaluation serves the primal and every derivative
-    # term — the inner Temme/CF2 loops are sequential latency-bound, so
-    # separate calls would multiply the wall clock. Rows:
-    #   K at orders nu | nu+h | nu-h   (same fractional part up to +-h)
-    # with (K_{nu-1}, K_nu, K_{nu+1}) recovered from row 0's series/CF2
-    # PAIR via the stable upward recurrence (kv_triple_from_pair) — three
-    # stacked rows instead of the former five.
+    # ONE jvp-augmented series/CF2 pass serves the primal and every
+    # derivative term — the inner Temme/CF2 loops are sequential
+    # latency-bound, so separate calls would multiply the wall clock.
+    # The pass yields (K_{nu-1}, K_nu, K_{nu+1}) via the shared pair +
+    # stable upward recurrence (kv_triple_from_pair);
     # dK/dx = -(K_{nu-1} + K_{nu+1})/2 (analytic);
-    # dK/dnu by central difference (no closed form); h balances FD
-    # cancellation vs truncation on both backends (TPU's emulated f64
-    # evaluates kv to ~1e-10 relative). The FD rows pin nl(nu) and
-    # perturb mu only, so both land on row 0's recurrence depth.
-    h = jnp.asarray(_FD_H[jnp.dtype(dtype)], dtype)
+    # dK/dnu is the EXACT forward-mode tangent through the same pass
+    # with nl pinned (the order decomposition that used to anchor the
+    # central-difference rows — now with zero FD error; AD handles the
+    # gamma constants, which are smooth in mu on both dtype branches).
     x_safe = jnp.where(x > 0.0, x, 1.0)
     nl0 = jnp.floor(nu + 0.5)
     mu0 = nu - nl0
-    mus = jnp.stack([mu0, mu0 + h, mu0 - h])
-    x3 = jnp.broadcast_to(x_safe, mus.shape)
-    x_lo = jnp.minimum(x3, 2.0)
-    x_hi = jnp.maximum(x3, 2.0)
-    ks_mu, ks_mu1 = _temme_series(mus, x_lo)
-    kc_mu, kc_mu1 = _steed_cf2(mus, x_hi)
-    use_series = x3 < 2.0
-    k_mu = jnp.where(use_series, ks_mu, kc_mu)
-    k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
-    k_prev, k_mid, k_next = kv_triple_from_pair(mus, nl0, x3, k_mu, k_mu1)
+    x_lo = jnp.minimum(x_safe, 2.0)
+    x_hi = jnp.maximum(x_safe, 2.0)
+    use_series = x_safe < 2.0
+
+    def f(m):
+        ks_mu, ks_mu1 = _temme_series(m, x_lo)
+        kc_mu, kc_mu1 = _steed_cf2(m, x_hi)
+        k_mu = jnp.where(use_series, ks_mu, kc_mu)
+        k_mu1 = jnp.where(use_series, ks_mu1, kc_mu1)
+        return kv_triple_from_pair(m, nl0, x_safe, k_mu, k_mu1)
+
+    (k_prev, k_mid, k_next), (_, dk_dnu, _) = jax.jvp(
+        f, (mu0,), (jnp.ones_like(mu0),)
+    )
     bad = jnp.where(x > 0.0, jnp.nan, jnp.where(x == 0.0, jnp.inf, jnp.nan))
-    primal_out = jnp.where(x > 0.0, k_mid[0], bad)
-    dk_dx = -0.5 * (k_prev[0] + k_next[0])
-    dk_dnu = (k_mid[1] - k_mid[2]) / (2.0 * h)
+    primal_out = jnp.where(x > 0.0, k_mid, bad)
+    dk_dx = -0.5 * (k_prev + k_next)
 
     dnu = jnp.zeros_like(primal_out) if dnu is None else dnu
     dx = jnp.zeros_like(primal_out) if dx is None else dx

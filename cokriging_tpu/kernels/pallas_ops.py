@@ -340,6 +340,28 @@ GN = 256
 _LN2 = 0.6931471805599453
 
 
+def _kv_triple_dnu_tile(mu, nl, gams, dgams, x):
+    """(K_{nu-1}, K_nu, K_{nu+1}, dK_nu/dnu) in ONE series/CF2 pass.
+
+    The value triple comes from the shared pair + recurrence
+    (kv_triple_from_pair); dK/dnu rides as an exact forward-mode tangent
+    (jax.jvp) through the same pass with ``nl`` pinned — the
+    order-decomposition convention of bessel._kv_jvp, now with zero
+    finite-difference error and one fewer serialized K_nu evaluation
+    than the former two-sided FD rows. ``dgams`` are the host-computed
+    d/dmu of the gamma constants (bessel.gam12_tangent)."""
+    from cokriging_tpu.kernels import bessel as B
+
+    def f(m, g1, g2, gp, gm):
+        pair = _kv_pair_tile_gated(m, (g1, g2, gp, gm), x)
+        return B.kv_triple_from_pair(m, nl, x, *pair)
+
+    primals = (mu, *gams)
+    tangents = (jnp.ones_like(mu), *dgams)
+    (kp, km, kn), (_, dkm, _) = jax.jvp(f, primals, tangents)
+    return kp, km, kn, dkm
+
+
 def _kv_tile(mu, nl, gam_consts, x):
     """K_{mu+nl}(x) on one tile: Temme series / Steed CF2 + order
     recurrence, all loop carries VMEM-resident. mu/nl/gam_consts are
@@ -354,43 +376,39 @@ def _kv_tile(mu, nl, gam_consts, x):
 def _matern_grad_tile(p, h, ct):
     """Four scalar cotangent contributions of one (h, ct) tile:
     [sum(ct*M), sum(ct[h==0]), scale*sum(ct*dM/dnu), scale*sum(ct*dM/dls)].
-    ``p`` is the SMEM parameter vector of matern_block_grad_pallas."""
+    ``p`` is the SMEM parameter vector of matern_block_grad_pallas:
+    [0 nu | 1 ls | 2 scale | 3 lgamma | 4 digamma | 5 mu0 | 6 nl0 |
+     7-10 gam consts of mu0 | 11-14 their d/dmu tangents]."""
     nu, ls, scale = p[0], p[1], p[2]
-    lgam, digam, fd = p[3], p[4], p[5]
+    lgam, digam = p[3], p[4]
 
     pos = h > 0.0
     hs = jnp.where(pos, h, 1.0) / ls
     a = jnp.sqrt(2.0 * nu) * hs
 
-    # rows: K_nu | K_{nu-1} | K_{nu+1} | K_{nu+fd} | K_{|nu-fd|}
-    # (kernels/bessel.py:_kv_jvp). The three analytic orders share the
-    # fractional part mu0, so ONE series/CF2 pair + the stable upward
-    # recurrence yields all three (kv_triple_from_pair) — 3 serialized
-    # K_nu evaluations per tile instead of 5.
+    # ONE jvp-augmented series/CF2 pass yields K_{nu-1}, K_nu, K_{nu+1}
+    # (shared fractional part + stable upward recurrence) AND the exact
+    # forward-mode dK_nu/dnu — ~2 plain evaluations' work, replacing the
+    # former 1 analytic + 2 central-FD rows (and their O(fd^2) error).
     from cokriging_tpu.kernels import bessel as B
 
-    mu0, nl0 = p[6], p[11]
-    pair0 = _kv_pair_tile_gated(mu0, (p[16], p[17], p[18], p[19]), a)
-    k_prev, k_mid, k_next = B.kv_triple_from_pair(mu0, nl0, a, *pair0)
-    ks = [k_mid, k_prev, k_next] + [
-        _kv_tile(p[6 + o], p[11 + o],
-                 (p[16 + 4 * o], p[17 + 4 * o], p[18 + 4 * o], p[19 + 4 * o]),
-                 a)
-        for o in (3, 4)
-    ]
+    mu0, nl0 = p[5], p[6]
+    k_prev, k_mid, k_next, dk_dnu = _kv_triple_dnu_tile(
+        mu0, nl0, (p[7], p[8], p[9], p[10]),
+        (p[11], p[12], p[13], p[14]), a,
+    )
 
     log_a = B.log_precise(a)
     lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
     elp = jnp.exp(lp)
-    m = elp * ks[0]
+    m = elp * k_mid
     finite = jnp.isfinite(m)
     ok = finite & (m > 0.0) & pos
     m_val = jnp.where(
         pos, jnp.where(finite, jnp.maximum(m, 0.0), 0.0), 1.0
     )
 
-    dk_dx = -0.5 * (ks[1] + ks[2])
-    dk_dnu = (ks[3] - ks[4]) / (2.0 * fd)
+    dk_dx = -0.5 * (k_prev + k_next)
     da_dnu = a / (2.0 * nu)
     da_dls = -a / ls
     dlp_dnu = -_LN2 - digam + log_a + 0.5
@@ -453,7 +471,7 @@ def _matern_grad_call_32(params, h, ct, symmetric=False):
         _matern_grad_kernel_sym if symmetric else _matern_grad_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (36,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (15,)
             pl.BlockSpec((GM, GN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((GM, GN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
@@ -490,27 +508,19 @@ def matern_block_grad_pallas(scale, nugget, nu, ls, h, ct, symmetric=False):
     from cokriging_tpu.kernels import bessel as B
 
     nu_s = jnp.abs(jnp.asarray(nu, dt))
-    fd = jnp.asarray(B._FD_H[jnp.dtype(dt)], dt)
-    # FD rows pin nl(nu) and perturb mu only, mirroring bessel._kv_jvp
-    # (keeps both central-difference evaluations on one recurrence branch)
+    # one order decomposition: the value triple and the exact
+    # forward-mode dK/dnu all ride mu0 with nl0 pinned (see
+    # _kv_triple_dnu_tile); gam constants and their d/dmu tangents are
+    # host-computed (no lgamma/digamma primitives inside Pallas)
     nl0 = jnp.floor(nu_s + 0.5)
     mu0 = nu_s - nl0
-    analytic = [nu_s, jnp.abs(nu_s - 1.0), nu_s + 1.0]
-    mus, nls = [], []
-    for o in analytic:
-        nl = jnp.floor(o + 0.5)
-        nls.append(nl)
-        mus.append(o - nl)
-    mus += [mu0 + fd, mu0 - fd]
-    nls += [nl0, nl0]
-    gams = []
-    for mu in mus:
-        gams.extend(B._gam12(mu))
+    gams = B._gam12(mu0)
+    dgams = B.gam12_tangent(mu0)
     params = jnp.stack(
         [
             nu_s, jnp.asarray(ls, dt), jnp.asarray(scale, dt),
-            B.lgamma_precise(nu_s), jax.lax.digamma(nu_s), fd,
-            *mus, *nls, *gams,
+            B.lgamma_precise(nu_s), jax.lax.digamma(nu_s),
+            mu0, nl0, *gams, *dgams,
         ]
     ).astype(dt)
 
@@ -635,15 +645,14 @@ def matern_corr_pairs_pallas(nu_pairs, ls_pairs, idx_f, h):
 
 def _make_pairs_grad_kernel(n_pairs):
     """Backward: per-entry dM/dnu, dM/dls contracted against the cotangent
-    and accumulated into per-pair sums. Derivative formulas mirror
-    kernels/bessel.py's custom JVP exactly (analytic dK/dx via
-    K_{nu-1}/K_{nu+1}, central-FD dK/dnu with pinned nl).
+    and accumulated into per-pair sums. dK/dx is analytic via
+    K_{nu-1}/K_{nu+1} from the shared series/CF2 pair; dK/dnu is the
+    exact forward-mode tangent through the same pass (nl pinned).
 
     SMEM table columns per pair:
-      0 nu | 1 ls | 2 lgamma | 3 digamma | 4 fd
-      5+o       mu of order o          (o = 0..4)
-      10+o      nl of order o
-      15+4o..   (gam1, gam2, inv_gp, inv_gm) of order o
+      0 nu | 1 ls | 2 lgamma | 3 digamma | 4 mu0 | 5 nl0
+      6-9   (gam1, gam2, inv_gp, inv_gm) of mu0
+      10-13 their d/dmu tangents
     """
 
     def kernel(params_ref, idx_ref, h_ref, ct_ref, out_ref):
@@ -661,7 +670,7 @@ def _make_pairs_grad_kernel(n_pairs):
         def sel(c):
             return _sel_pairs(params_ref, idx, c, n_pairs)
 
-        nu, ls, lgam, digam, fd = sel(0), sel(1), sel(2), sel(3), sel(4)
+        nu, ls, lgam, digam = sel(0), sel(1), sel(2), sel(3)
 
         pos = h > 0.0
         hs = jnp.where(pos, h, 1.0) / ls
@@ -669,34 +678,24 @@ def _make_pairs_grad_kernel(n_pairs):
 
         from cokriging_tpu.kernels import bessel as B
 
-        # the three analytic orders share each lane's fractional part:
-        # one series/CF2 pair + the recurrence (kv_triple_from_pair)
-        # replaces three of the five serialized K_nu evaluations
-        pair0 = _kv_pair_tile_gated(
-            sel(5), (sel(15), sel(16), sel(17), sel(18)), a
+        # one jvp-augmented series/CF2 pass per entry: the value triple
+        # via the shared pair + recurrence, dK/dnu as its exact
+        # forward-mode tangent (see _kv_triple_dnu_tile)
+        k_prev, k_mid, k_next, dk_dnu = _kv_triple_dnu_tile(
+            sel(4), sel(5),
+            (sel(6), sel(7), sel(8), sel(9)),
+            (sel(10), sel(11), sel(12), sel(13)),
+            a,
         )
-        k_prev, k_mid, k_next = B.kv_triple_from_pair(
-            sel(5), sel(10), a, *pair0
-        )
-        ks = [k_mid, k_prev, k_next] + [
-            _kv_tile(
-                sel(5 + o), sel(10 + o),
-                (sel(15 + 4 * o), sel(16 + 4 * o),
-                 sel(17 + 4 * o), sel(18 + 4 * o)),
-                a,
-            )
-            for o in (3, 4)
-        ]
 
         log_a = B.log_precise(a)
         lp = (1.0 - nu) * _LN2 - lgam + nu * log_a
         elp = jnp.exp(lp)
-        m = elp * ks[0]
+        m = elp * k_mid
         finite = jnp.isfinite(m)
         ok = finite & (m > 0.0) & pos
 
-        dk_dx = -0.5 * (ks[1] + ks[2])
-        dk_dnu = (ks[3] - ks[4]) / (2.0 * fd)
+        dk_dx = -0.5 * (k_prev + k_next)
         da_dnu = a / (2.0 * nu)
         da_dls = -a / ls
         dlp_dnu = -_LN2 - digam + log_a + 0.5
@@ -750,29 +749,18 @@ def _pairs_grad_call_32(params, idx, h, ct, n_pairs):
 
 
 def _pairs_table_bwd(nu_pairs, ls_pairs):
-    """(n_pairs, 35) backward constant table (see _make_pairs_grad_kernel
-    for the column layout) — matern_block_grad_pallas's per-order
-    decompositions, vectorized over pairs."""
+    """(n_pairs, 14) backward constant table (see _make_pairs_grad_kernel
+    for the column layout), vectorized over pairs."""
     from cokriging_tpu.kernels import bessel as B
 
     dt = jnp.float32
     nu = jnp.abs(jnp.asarray(nu_pairs, dt))
     ls = jnp.asarray(ls_pairs, dt)
-    fd = jnp.full_like(nu, B._FD_H[jnp.dtype(dt)])
     nl0 = jnp.floor(nu + 0.5)
     mu0 = nu - nl0
-    mus, nls = [], []
-    for o in (nu, jnp.abs(nu - 1.0), nu + 1.0):
-        nl = jnp.floor(o + 0.5)
-        nls.append(nl)
-        mus.append(o - nl)
-    mus += [mu0 + fd, mu0 - fd]
-    nls += [nl0, nl0]
-    cols = [nu, ls, B.lgamma_precise(nu), jax.lax.digamma(nu), fd]
-    cols += mus
-    cols += nls
-    for mu in mus:
-        cols.extend(B._gam12(mu))
+    cols = [nu, ls, B.lgamma_precise(nu), jax.lax.digamma(nu), mu0, nl0]
+    cols += list(B._gam12(mu0))
+    cols += list(B.gam12_tangent(mu0))
     return jnp.stack(cols, axis=1).astype(dt)
 
 

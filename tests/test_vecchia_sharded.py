@@ -60,19 +60,26 @@ def test_fit_vecchia_mesh_path_runs():
     init = MaternParams.default(2, spec).with_flat(
         jnp.asarray([1.0, 1.0, 1.5, 1.5, 1.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.0])
     )
-    kw = dict(init=init, m=8, maxiter=10, main=False, chunk=16)
-    p_mesh, i_mesh = fit_vecchia(mf, mesh=make_mesh(), **kw)
-    p_single, i_single = fit_vecchia(mf, **kw)
-    # The two objectives agree to float rounding (asserted exactly by
-    # test_sharded_vecchia_nll_matches_single_device) but their reduction
-    # ORDERS differ, and a ~1e-15 value difference can flip a line-search
-    # decision — so compare optimum quality, not trajectories.
+    kw = dict(m=8, maxiter=60, main=False, chunk=16)
+    p_single, i_single = fit_vecchia(mf, init=init, **kw)
+    # This tiny two-correlated-fields surface is genuinely multimodal:
+    # from the shared init, eps-scale reduction-order differences between
+    # layouts can (and do) select different basins, so same-init NLL
+    # comparison is not an invariant. The layout-robust invariant: the
+    # sharded objective must RECOGNIZE the single-path optimum — a mesh
+    # fit warm-started there stays there (identical objective values are
+    # separately pinned exactly by
+    # test_sharded_vecchia_nll_matches_single_device).
+    p_mesh, i_mesh = fit_vecchia(mf, mesh=make_mesh(), init=p_single, **kw)
     assert i_mesh["nll"] <= i_single["nll"] + max(
-        1.0, 0.01 * abs(i_single["nll"])
+        1e-3, 1e-4 * abs(i_single["nll"])
     )
     np.testing.assert_allclose(
-        np.asarray(p_mesh.sigma), np.asarray(p_single.sigma), atol=0.3
+        np.asarray(p_mesh.sigma), np.asarray(p_single.sigma), atol=0.05
     )
+    # and the mesh path runs end-to-end from a cold init too
+    p_cold, i_cold = fit_vecchia(mf, mesh=make_mesh(), init=init, **kw)
+    assert np.isfinite(i_cold["nll"])
 
 
 def test_sharded_vecchia_nll_grad_matches():
