@@ -327,6 +327,17 @@ def _steed_cf2(mu, x):
     # with vector-of-bool carries
     done = jnp.zeros_like(x)
     eps = jnp.finfo(x.dtype).eps
+    # HALF-INTEGER orders are degenerate: a1 = 0.25 - mu^2 == 0 makes
+    # every series term c_k (and hence dels) exactly zero, so the freeze
+    # would fire after one step. The PRIMAL is right either way (s = 1,
+    # the closed-form K_{1/2} family), but forward-mode TANGENTS — the
+    # exact dK/dnu of the gradient kernels — are d(c_k)/dmu-driven and
+    # need the full recursion; a frozen lane truncates them (measured
+    # 4e-3 relative d2K/dnu2 error at nu = 1.5). Degenerate lanes are
+    # therefore never frozen: their unfrozen evolution is benign (c
+    # stays 0, h's own delh decays geometrically, renormalization
+    # bounds q1/q2).
+    not_degenerate = (a1 != 0.0).astype(x.dtype)
 
     def body(i, carry):
         # Two guards for a fixed trip count:
@@ -349,7 +360,8 @@ def _steed_cf2(mu, x):
         dels = q_n * delh_n
         s_n = s + dels
         done_n = jnp.maximum(
-            done, (jnp.abs(dels / s_n) < eps).astype(x.dtype)
+            done,
+            (jnp.abs(dels / s_n) < eps).astype(x.dtype) * not_degenerate,
         )
 
         scale = jnp.maximum(jnp.abs(qnew), 1e-30)
